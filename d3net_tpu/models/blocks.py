@@ -1,0 +1,151 @@
+"""Sparse U-Net building blocks (Flax), mirroring the reference topology.
+
+Parity targets: ``model/common.py`` in daveredrum/D3Net — ``ResidualBlock``,
+``VGGBlock`` and the recursive ``UBlock`` (encoder stride-2 conv, decoder
+transposed conv, skip concat, tail blocks).  Convolution itself is the
+gather-matmul op from :mod:`d3net_tpu.ops.sparse_conv`; batch norm is a
+masked variant computed over active voxels only (padded rows excluded).
+
+Tensor layout: features (B, M_cap, C) per level; kernel maps per level come
+from the host pipeline as a list of dicts (see ``LevelTables``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from d3net_tpu.ops.sparse_conv import sparse_conv
+
+# Per-level table dict keys (batched, static shapes):
+#   nbr  (B, M_l, 27)   submanifold table, INVALID = M_l cap
+#   mask (B, M_l)       active-voxel mask (float or bool)
+#   down (B, M_{l+1}, 8) stride-2 conv table into level l      (absent on last)
+#   up   (B, M_l, 8)     transposed-conv table into level l+1  (absent on last)
+LevelTables = Dict[str, Any]
+
+_batched_conv = jax.vmap(sparse_conv, in_axes=(0, 0, None))
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over active voxels of a (B, M, C) padded tensor.
+
+    Matches torch BatchNorm1d semantics (eps 1e-4, momentum 0.1 — i.e.
+    running = 0.9*running + 0.1*batch) as configured in the reference
+    (``model/pointgroup.py:65-66``).  Under pjit with a sharded batch the
+    statistics reductions become global automatically — strictly better
+    than the reference's per-GPU unsynced BN.
+    """
+
+    eps: float = 1e-4
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        m = mask.astype(x.dtype)[..., None]  # (B, M, 1)
+        if train:
+            count = jnp.maximum(m.sum(), 1.0)
+            xf = x.astype(jnp.float32)
+            mean = (xf * m).sum(axis=(0, 1)) / count
+            var = (((xf - mean) ** 2) * m).sum(axis=(0, 1)) / count
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        out = (x.astype(jnp.float32) - mean) * inv + bias
+        return (out.astype(x.dtype)) * m
+
+
+class SubmConv(nn.Module):
+    """Stride-1 sparse conv over a neighbor table (kernel folded into fan-in)."""
+
+    out_channels: int
+    kernel_volume: int = 27
+
+    @nn.compact
+    def __call__(self, feats, nbr):
+        cin = feats.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+            (self.kernel_volume, cin, self.out_channels),
+        )
+        return _batched_conv(feats, nbr, w)
+
+
+class ResidualBlock(nn.Module):
+    """(BN-ReLU-conv3)x2 + identity / 1x1 projection (pre-activation)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, nbr, mask, train: bool):
+        identity = x
+        h = MaskedBatchNorm()(x, mask, train)
+        h = nn.relu(h)
+        h = SubmConv(self.out_channels)(h, nbr)
+        h = MaskedBatchNorm()(h, mask, train)
+        h = nn.relu(h)
+        h = SubmConv(self.out_channels)(h, nbr)
+        if identity.shape[-1] != self.out_channels:
+            identity = SubmConv(self.out_channels, kernel_volume=1)(
+                identity, nbr[..., 13:14]  # center offset of the 3^3 table
+            )
+        return h + identity
+
+
+class VGGBlock(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, nbr, mask, train: bool):
+        h = MaskedBatchNorm()(x, mask, train)
+        h = nn.relu(h)
+        return SubmConv(self.out_channels)(h, nbr)
+
+
+class UBlock(nn.Module):
+    """Recursive sparse U-Net level (parity: ``model/common.py:73-118``).
+
+    ``planes[i]`` channels at level i; ``tables[i]`` the level's kernel maps.
+    """
+
+    planes: Sequence[int]
+    block_reps: int = 2
+    residual: bool = True
+
+    @nn.compact
+    def __call__(self, x, tables: List[LevelTables], train: bool):
+        block = ResidualBlock if self.residual else VGGBlock
+        t0 = tables[0]
+        for _ in range(self.block_reps):
+            x = block(self.planes[0])(x, t0["nbr"], t0["mask"], train)
+
+        if len(self.planes) > 1:
+            identity = x
+            h = MaskedBatchNorm()(x, t0["mask"], train)
+            h = nn.relu(h)
+            h = SubmConv(self.planes[1], kernel_volume=8)(h, t0["down"])
+            h = UBlock(self.planes[1:], self.block_reps, self.residual)(
+                h, tables[1:], train
+            )
+            t1 = tables[1]
+            h = MaskedBatchNorm()(h, t1["mask"], train)
+            h = nn.relu(h)
+            h = SubmConv(self.planes[0], kernel_volume=8)(h, t0["up"])
+            x = jnp.concatenate([identity, h], axis=-1)
+            for i in range(self.block_reps):
+                x = block(self.planes[0])(x, t0["nbr"], t0["mask"], train)
+        return x

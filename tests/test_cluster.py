@@ -1,0 +1,113 @@
+import numpy as np
+import jax.numpy as jnp
+
+from d3net_tpu.ops.cluster import compact_clusters, grid_cluster, pair_searchsorted
+
+
+def _blob(rng, center, n, scale=0.01):
+    return center + rng.normal(scale=scale, size=(n, 3))
+
+
+def test_pair_searchsorted():
+    hi = jnp.asarray([0, 0, 1, 1, 1, 3], jnp.int32)
+    lo = jnp.asarray([0, 5, 0, 2, 9, 1], jnp.int32)
+    q = pair_searchsorted(hi, lo, jnp.asarray([1, 0, 4, 1], jnp.int32), jnp.asarray([2, 6, 0, 3], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(q), [3, 2, 6, 4])
+
+
+def test_two_separated_blobs_two_clusters():
+    rng = np.random.default_rng(0)
+    a = _blob(rng, np.array([0.0, 0, 0]), 40)
+    b = _blob(rng, np.array([1.0, 1, 0]), 40)
+    coords = np.concatenate([a, b]).astype(np.float32)
+    sem = np.full(80, 3, np.int32)
+    valid = np.ones(80, bool)
+    root = np.asarray(
+        grid_cluster(jnp.asarray(coords), jnp.asarray(sem), jnp.asarray(valid))
+    )
+    # blob a = one component, blob b = another
+    assert len(np.unique(root[:40])) == 1
+    assert len(np.unique(root[40:])) == 1
+    assert root[0] != root[40]
+
+
+def test_same_position_different_label_not_merged():
+    rng = np.random.default_rng(1)
+    a = _blob(rng, np.array([0.0, 0, 0]), 30)
+    coords = np.concatenate([a, a]).astype(np.float32)
+    sem = np.concatenate([np.full(30, 2), np.full(30, 7)]).astype(np.int32)
+    valid = np.ones(60, bool)
+    root = np.asarray(grid_cluster(jnp.asarray(coords), jnp.asarray(sem), jnp.asarray(valid)))
+    assert root[0] != root[30]
+    assert len(np.unique(root[:30])) == 1
+    assert len(np.unique(root[30:])) == 1
+
+
+def test_chain_connectivity_long_diameter():
+    # a line of points spaced 2cm apart must form ONE component
+    n = 200
+    coords = np.zeros((n, 3), np.float32)
+    coords[:, 0] = np.arange(n) * 0.02
+    sem = np.full(n, 5, np.int32)
+    valid = np.ones(n, bool)
+    root = np.asarray(
+        grid_cluster(jnp.asarray(coords), jnp.asarray(sem), jnp.asarray(valid), num_iters=10)
+    )
+    assert len(np.unique(root)) == 1
+
+
+def test_invalid_points_excluded():
+    rng = np.random.default_rng(2)
+    coords = _blob(rng, np.zeros(3), 50).astype(np.float32)
+    sem = np.full(50, 1, np.int32)
+    valid = np.ones(50, bool)
+    valid[25:] = False
+    root = np.asarray(grid_cluster(jnp.asarray(coords), jnp.asarray(sem), jnp.asarray(valid)))
+    assert (root[25:] == -1).all()
+    assert (root[:25] >= 0).all()
+
+
+def test_far_points_not_connected():
+    coords = np.array([[0, 0, 0], [0.5, 0, 0]], np.float32)  # 50cm apart
+    sem = np.full(2, 1, np.int32)
+    root = np.asarray(
+        grid_cluster(jnp.asarray(coords), jnp.asarray(sem), jnp.asarray(np.ones(2, bool)))
+    )
+    assert root[0] != root[1]
+
+
+def test_compact_clusters_topk_and_threshold():
+    rng = np.random.default_rng(3)
+    a = _blob(rng, np.array([0.0, 0, 0]), 60)
+    b = _blob(rng, np.array([2.0, 0, 0]), 30)
+    c = _blob(rng, np.array([4.0, 0, 0]), 5)  # below threshold
+    coords = np.concatenate([a, b, c]).astype(np.float32)
+    n = len(coords)
+    sem = np.full(n, 4, np.int32)
+    valid = np.ones(n, bool)
+    root = grid_cluster(jnp.asarray(coords), jnp.asarray(sem), jnp.asarray(valid))
+    member, mask, npoint = compact_clusters(
+        root, jnp.ones(n), jnp.asarray(valid), max_clusters=8, min_points=10
+    )
+    member, mask, npoint = map(np.asarray, (member, mask, npoint))
+    assert mask.sum() == 2
+    # biggest cluster first
+    assert npoint[0] == 60 and npoint[1] == 30
+    assert (member[:60] == member[0]).all() and member[0] >= 0
+    assert (member[60:90] == member[60]).all() and member[60] >= 0
+    assert (member[90:] == -1).all()  # small cluster dropped
+
+
+def test_weighted_counts():
+    rng = np.random.default_rng(4)
+    a = _blob(rng, np.zeros(3), 10)
+    coords = a.astype(np.float32)
+    sem = np.full(10, 1, np.int32)
+    valid = np.ones(10, bool)
+    w = np.full(10, 7.0, np.float32)  # each voxel holds 7 points
+    root = grid_cluster(jnp.asarray(coords), jnp.asarray(sem), jnp.asarray(valid), weights=jnp.asarray(w))
+    member, mask, npoint = compact_clusters(
+        root, jnp.asarray(w), jnp.asarray(valid), max_clusters=4, min_points=50
+    )
+    assert np.asarray(mask).sum() == 1
+    assert np.asarray(npoint)[0] == 70.0
