@@ -1,0 +1,98 @@
+"""Benchmark: flagship detector inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput numbers (BASELINE.md); the driver
+gate is >=5x the CUDA reference on one v5e chip.  We conservatively assume
+the reference PointGroup detector sustains ~5 scenes/sec on its README GPU
+(PyTorch 1.9 + CUDA 11.1, ~2080Ti class), so vs_baseline = scenes_per_sec/5.
+
+Scenes are synthetic but ScanNet-statistics-sized (~125k points, ~90k 2cm
+voxels, 16 instances); the model is the full flagship config (m=16, 7 U-Net
+levels, 134-dim input with multiview features, dual clustering, ScoreNet).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from d3net_tpu.data.collate import BatchSpec, build_batch
+from d3net_tpu.data.synthetic import make_scene
+from d3net_tpu.models.pointgroup import PointGroup
+
+BATCH = 4
+REF_SCENES_PER_SEC = 5.0
+
+
+def build_bench_batch():
+    scenes = [
+        make_scene(
+            seed=i,
+            num_instances=16,
+            density=2500.0,
+            floor_points=30000,
+            room=8.0,
+            with_multiview=True,
+        )
+        for i in range(BATCH)
+    ]
+    spec = BatchSpec(
+        max_points=131072,
+        voxel_caps=[131072, 65536, 32768, 16384, 8192, 4096, 2048],
+        max_instances=32,
+        use_multiview=True,
+        use_normal=True,
+    )
+    return build_batch(scenes, spec)
+
+
+def main():
+    model = PointGroup()  # flagship defaults: m=16, blocks 1..7
+    t0 = time.time()
+    batch_np = build_bench_batch()
+    host_s = time.time() - t0
+    batch = jax.tree.map(jnp.asarray, batch_np)
+
+    init = jax.jit(lambda b: model.init({"params": jax.random.key(0)}, b, train=False))
+    variables = init(batch)
+    jax.block_until_ready(variables)
+
+    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False))
+    out = fwd(variables, batch)
+    jax.block_until_ready(out["proposal_scores_all"])  # compile + warmup
+    out = fwd(variables, batch)
+    jax.block_until_ready(out["proposal_scores_all"])
+
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        out = fwd(variables, batch)
+    jax.block_until_ready(out["proposal_scores_all"])
+    dt = (time.time() - t0) / iters
+    scenes_per_sec = BATCH / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "detector_fwd_scenes_per_sec",
+                "value": round(scenes_per_sec, 3),
+                "unit": "scenes/sec",
+                "vs_baseline": round(scenes_per_sec / REF_SCENES_PER_SEC, 3),
+                "detail": {
+                    "batch": BATCH,
+                    "step_ms": round(dt * 1e3, 2),
+                    "host_pipeline_s_per_batch": round(host_s, 2),
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

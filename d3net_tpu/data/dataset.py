@@ -1,0 +1,151 @@
+"""Scene datasets + host-side batch iterator (the input pipeline).
+
+Parity: ``lib/dataset/pipeline.py`` (PipelineDataset + DataLoader workers).
+Sources provide preprocessed scenes; the iterator applies augmentation
+(jitter/flip/rotz/elastic — ``_augment`` + elastic in the reference),
+assembles static-shape batches via :mod:`d3net_tpu.data.collate`, and
+prefetches batches on a background thread so host work overlaps device
+compute (the reference used 8 torch DataLoader workers for the same job).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import replace
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from d3net_tpu.data.collate import BatchSpec, build_batch
+from d3net_tpu.data.synthetic import Scene, make_scene
+from d3net_tpu.utils import transform as T
+
+
+class SyntheticScenes:
+    """Deterministic synthetic scene list (this env ships no ScanNet)."""
+
+    def __init__(self, num_scenes: int = 64, split: str = "train", **scene_kw):
+        base = 0 if split == "train" else 10_000
+        self.scenes = [make_scene(seed=base + i, **scene_kw) for i in range(num_scenes)]
+
+    def __len__(self):
+        return len(self.scenes)
+
+    def __getitem__(self, i) -> Scene:
+        return self.scenes[i]
+
+
+class NpzScenes:
+    """ScanNet scenes preprocessed by scripts/prepare_scannet.py (npz files)."""
+
+    def __init__(self, paths: Sequence[str]):
+        self.paths = list(paths)
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i) -> Scene:
+        d = np.load(self.paths[i], allow_pickle=False)
+        return Scene(
+            xyz=d["xyz"],
+            rgb=d["rgb"],
+            normal=d["normal"],
+            multiview=d["multiview"] if "multiview" in d else None,
+            sem_labels=d["sem_labels"],
+            instance_ids=d["instance_ids"],
+            instance_bboxes=d["instance_bboxes"],
+            scene_id=str(d.get("scene_id", "scan")),
+        )
+
+
+def augment_scene(scene: Scene, rng: np.random.Generator, *, jitter=True,
+                  flip=True, rot=True, elastic=False, scale=50.0) -> Scene:
+    m = np.eye(3)
+    if jitter:
+        m = m @ T.jitter_matrix(rng)
+    if flip:
+        m = m @ T.flip_matrix(rng, 0, random=True)
+    if rot:
+        m = m @ T.random_rotz_matrix(rng)
+    xyz = (scene.xyz @ m.T).astype(np.float32)
+    if elastic:
+        s = xyz * scale
+        s = T.elastic(s, 6 * 1, 40 * 0.1, rng)
+        s = T.elastic(s, 20 * 1, 160 * 0.4, rng)
+        xyz = (s / scale).astype(np.float32)
+    normal = (scene.normal @ np.linalg.inv(m).T).astype(np.float32)
+    return replace(scene, xyz=xyz, normal=normal)
+
+
+class BatchIterator:
+    """Shuffled, augmented, prefetched static-shape batches."""
+
+    def __init__(
+        self,
+        scenes,
+        spec: BatchSpec,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        augment: bool = True,
+        elastic: bool = False,
+        seed: int = 0,
+        prefetch: int = 2,
+        drop_last: bool = True,
+    ):
+        self.scenes = scenes
+        self.spec = spec
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.augment = augment
+        self.elastic = elastic
+        self.seed = seed
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.scenes)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_batches(self) -> Iterator[dict]:
+        rng = np.random.default_rng(self.seed + self.epoch)
+        order = np.arange(len(self.scenes))
+        if self.shuffle:
+            rng.shuffle(order)
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            scenes = []
+            for i in idx:
+                s = self.scenes[int(i)]
+                if self.augment:
+                    s = augment_scene(
+                        s, rng, elastic=self.elastic, scale=self.spec.scale
+                    )
+                scenes.append(s)
+            yield build_batch(scenes, self.spec)
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.prefetch <= 0:
+            yield from self._epoch_batches()
+        else:
+            q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+            done = object()
+
+            def worker():
+                try:
+                    for item in self._epoch_batches():
+                        q.put(item)
+                finally:
+                    q.put(done)
+
+            t = threading.Thread(target=worker, daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is done:
+                    break
+                yield item
+        self.epoch += 1

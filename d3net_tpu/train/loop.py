@@ -1,0 +1,240 @@
+"""Training orchestration: epochs, validation, checkpointing, logging.
+
+Parity targets: Lightning Trainer wiring in ``scripts/train.py:247-344`` of
+the reference — TensorBoard logging, ModelCheckpoint(monitor=...) best/last
+semantics, resume from last checkpoint, config snapshot in the run dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from d3net_tpu.config import Config, save as save_cfg
+from d3net_tpu.data.collate import BatchSpec
+from d3net_tpu.data.dataset import BatchIterator, SyntheticScenes
+from d3net_tpu.models.pointgroup import PointGroup
+from d3net_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from d3net_tpu.train.trainer import (
+    TrainState,
+    create_train_state,
+    jit_eval_step,
+    jit_train_step,
+    make_optimizer,
+)
+
+
+class MetricLogger:
+    """JSONL + (optional) TensorBoard scalar logging."""
+
+    def __init__(self, run_dir: str):
+        self.path = os.path.join(run_dir, "metrics.jsonl")
+        self._tb = None
+        try:
+            import tensorflow as tf  # noqa
+
+            self._tb = tf.summary.create_file_writer(os.path.join(run_dir, "tb"))
+        except Exception:
+            pass
+
+    def log(self, step: int, scalars: Dict[str, float], prefix: str = "train"):
+        rec = {"step": int(step), **{f"{prefix}/{k}": float(v) for k, v in scalars.items()}}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in scalars.items():
+                    tf.summary.scalar(f"{prefix}/{k}", float(v), step=step)
+                self._tb.flush()
+
+
+class Checkpointer:
+    """Best+last checkpoints with the reference's monitor semantics."""
+
+    def __init__(self, run_dir: str, monitor: str, mode: str = "min"):
+        self.mgr = ocp.CheckpointManager(
+            os.path.join(os.path.abspath(run_dir), "ckpt"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=3),
+        )
+        self.monitor = monitor
+        self.mode = mode
+        self.best = np.inf if mode == "min" else -np.inf
+        self.best_step: Optional[int] = None
+
+    def is_better(self, value: float) -> bool:
+        return value < self.best if self.mode == "min" else value > self.best
+
+    def save(self, step: int, state: TrainState, metrics: Dict[str, float]):
+        value = metrics.get(self.monitor)
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        self.mgr.save(step, args=ocp.args.StandardSave(payload))
+        if value is not None and self.is_better(value):
+            self.best = value
+            self.best_step = step
+        self.mgr.wait_until_finished()
+
+    def restore_last(self, state: TrainState) -> Optional[TrainState]:
+        step = self.mgr.latest_step()
+        if step is None:
+            return None
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = self.mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
+
+
+def detector_from_cfg(cfg: Config) -> PointGroup:
+    return PointGroup(
+        m=cfg.model.m,
+        classes=cfg.data.classes,
+        blocks=tuple(cfg.model.blocks),
+        cluster_blocks=tuple(cfg.model.cluster_blocks),
+        block_reps=cfg.model.block_reps,
+        block_residual=cfg.model.block_residual,
+        use_coords=cfg.model.use_coords,
+        max_num_proposal=cfg.model.max_num_proposal,
+        cluster_radius=cfg.cluster.cluster_radius,
+        cluster_cell_size=cfg.tpu.cluster_cell_size,
+        cluster_ring=cfg.tpu.cluster_ring,
+        cluster_npoint_thre=cfg.cluster.cluster_npoint_thre,
+        cluster_prop_iters=cfg.tpu.cluster_prop_iters,
+        clusters_per_pass=cfg.tpu.clusters_per_pass,
+        score_fullscale=cfg.train.score_fullscale,
+        score_scale=cfg.train.score_scale,
+        test_score_thresh=cfg.test.TEST_SCORE_THRESH,
+        test_npoint_thresh=cfg.test.TEST_NPOINT_THRESH,
+    )
+
+
+def spec_from_cfg(cfg: Config) -> BatchSpec:
+    return BatchSpec(
+        max_points=cfg.data.max_num_point,
+        voxel_caps=list(cfg.tpu.voxel_caps),
+        max_instances=cfg.data.max_num_instance,
+        scale=cfg.data.scale,
+        use_color=cfg.model.use_color,
+        use_normal=cfg.model.use_normal,
+        use_multiview=cfg.model.use_multiview,
+        num_levels=len(cfg.model.blocks),
+    )
+
+
+def make_dataloaders(cfg: Config, spec: BatchSpec):
+    syn = cfg.data.synthetic
+    kw = dict(
+        num_instances=syn.num_instances,
+        points_per_instance=syn.points_per_instance,
+        floor_points=syn.floor_points,
+        room=syn.room,
+        with_multiview=bool(cfg.model.use_multiview),
+    )
+    train_scenes = SyntheticScenes(syn.num_scenes, "train", **kw)
+    val_scenes = SyntheticScenes(max(2, syn.num_scenes // 8), "val", **kw)
+    tr = cfg.data.transform
+    train_it = BatchIterator(
+        train_scenes, spec, cfg.data.batch_size,
+        shuffle=True, augment=bool(tr.jitter or tr.flip or tr.rot),
+        elastic=bool(cfg.data.get("elastic", False)), seed=cfg.general.manual_seed,
+    )
+    val_it = BatchIterator(
+        val_scenes, spec, cfg.data.batch_size,
+        shuffle=False, augment=False, seed=0, drop_last=False,
+    )
+    return train_it, val_it
+
+
+def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = None):
+    os.makedirs(run_dir, exist_ok=True)
+    save_cfg(cfg, os.path.join(run_dir, "config.yaml"))
+    logger = MetricLogger(run_dir)
+    ckpt = Checkpointer(run_dir, cfg.general.monitor.replace("val_loss/", ""),
+                        cfg.general.monitor_mode)
+
+    spec = spec_from_cfg(cfg)
+    model = detector_from_cfg(cfg)
+    train_it, val_it = make_dataloaders(cfg, spec)
+    steps_per_epoch = max(1, len(train_it))
+
+    mesh = make_mesh()
+    tx = make_optimizer(
+        lr=cfg.train.optim.lr,
+        optim=cfg.train.optim.classname,
+        weight_decay=cfg.train.optim.weight_decay,
+        momentum=cfg.train.optim.momentum,
+        step_epoch=cfg.train.step_epoch,
+        multiplier=cfg.train.multiplier,
+        steps_per_epoch=steps_per_epoch,
+    )
+
+    first = shard_batch(next(iter(train_it)), mesh)
+    train_it.epoch = 0  # don't consume the epoch counter on warmup
+    state = create_train_state(model, first, jax.random.key(cfg.general.manual_seed), tx)
+    state = replicate(state, mesh)
+    restored = ckpt.restore_last(state)
+    if restored is not None:
+        state = restored
+        print(f"resumed from step {int(state.step)}")
+
+    lw = tuple(cfg.train.loss_weight[:4])
+    train_step = jit_train_step(model, loss_weight=lw)
+    eval_step = jit_eval_step(model)
+    rng = jax.random.key(cfg.general.manual_seed + 1)
+
+    step = int(state.step)
+    for epoch in range(cfg.train.epochs):
+        t_epoch = time.time()
+        for batch_np in train_it:
+            batch = shard_batch(batch_np, mesh)
+            t0 = time.time()
+            state, metrics = train_step(state, batch, rng)
+            step += 1
+            if step % cfg.train.log_every_n_steps == 0:
+                metrics = jax.device_get(metrics)
+                metrics["iter_time"] = time.time() - t0
+                logger.log(step, metrics, "train")
+                print(
+                    f"epoch {epoch} step {step} "
+                    + " ".join(f"{k}={float(v):.4f}" for k, v in metrics.items())
+                )
+            if max_steps and step >= max_steps:
+                break
+
+        # validation
+        val_metrics: Dict[str, list] = {}
+        for batch_np in val_it:
+            batch = shard_batch(batch_np, mesh)
+            _, losses = eval_step(state, batch)
+            for k, v in jax.device_get(losses).items():
+                val_metrics.setdefault(k, []).append(float(v))
+        agg = {k: float(np.mean(v)) for k, v in val_metrics.items()}
+        logger.log(step, agg, "val")
+        print(f"epoch {epoch} VAL " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()))
+        ckpt.save(step, state, agg)
+
+        print(f"epoch {epoch} took {time.time()-t_epoch:.1f}s")
+        if max_steps and step >= max_steps:
+            break
+    return state

@@ -11,5 +11,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU backend and overrides
+# JAX_PLATFORMS from the environment; the config update below is the only
+# reliable way to pin tests to the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 # exact f32 matmuls so numpy oracles match bit-tight
 jax.config.update("jax_default_matmul_precision", "highest")
