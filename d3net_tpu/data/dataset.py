@@ -93,6 +93,7 @@ class BatchIterator:
         seed: int = 0,
         prefetch: int = 2,
         drop_last: bool = True,
+        return_scenes: bool = False,
     ):
         self.scenes = scenes
         self.spec = spec
@@ -103,6 +104,7 @@ class BatchIterator:
         self.seed = seed
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.return_scenes = return_scenes
         self.epoch = 0
 
     def __len__(self):
@@ -125,7 +127,8 @@ class BatchIterator:
                         s, rng, elastic=self.elastic, scale=self.spec.scale
                     )
                 scenes.append(s)
-            yield build_batch(scenes, self.spec)
+            batch = build_batch(scenes, self.spec)
+            yield (batch, scenes) if self.return_scenes else batch
 
     def __iter__(self) -> Iterator[dict]:
         if self.prefetch <= 0:

@@ -142,7 +142,7 @@ def spec_from_cfg(cfg: Config) -> BatchSpec:
     )
 
 
-def make_dataloaders(cfg: Config, spec: BatchSpec):
+def make_dataloaders(cfg: Config, spec: BatchSpec, return_scenes: bool = False):
     syn = cfg.data.synthetic
     kw = dict(
         num_instances=syn.num_instances,
@@ -158,10 +158,12 @@ def make_dataloaders(cfg: Config, spec: BatchSpec):
         train_scenes, spec, cfg.data.batch_size,
         shuffle=True, augment=bool(tr.jitter or tr.flip or tr.rot),
         elastic=bool(cfg.data.get("elastic", False)), seed=cfg.general.manual_seed,
+        return_scenes=return_scenes,
     )
     val_it = BatchIterator(
         val_scenes, spec, cfg.data.batch_size,
         shuffle=False, augment=False, seed=0, drop_last=False,
+        return_scenes=return_scenes,
     )
     return train_it, val_it
 

@@ -1,0 +1,665 @@
+"""Pipeline training: detector->speaker / ->listener / joint RL.
+
+Parity: ``PipelineNet.training_step`` modes 1-3 (``model/pipeline.py:
+138-455``), ``validation_step``/``validation_epoch_end`` (:457-735), module
+freezing and stage-wise pretrained loading (``scripts/train.py:288-326``).
+
+The RL step reproduces the self-critical objective
+(``lib/captioning/loss_helper.py:98-224``): CIDEr(sampled)-CIDEr(baseline)
+computed on host through ``jax.experimental.io_callback`` + detached
+listener loss deltas as reward, policy loss = -reward * sum logprob over
+good boxes; the sampled listener losses additionally train the listener.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import io_callback
+import numpy as np
+import optax
+
+from d3net_tpu.config import Config, save as save_cfg
+from d3net_tpu.data.dataset import BatchIterator, SyntheticScenes
+from d3net_tpu.data.language import NYU20_NAMES, base_corpus, build_lang_batch
+from d3net_tpu.data.vocab import Vocabulary, embedding_matrix
+from d3net_tpu.eval.caption_eval import CaptionEvaluator, decode_captions
+from d3net_tpu.eval.grounding_eval import GroundingEvaluator
+from d3net_tpu.eval import capeval
+from d3net_tpu.models.pipeline import PipelineNet
+from d3net_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from d3net_tpu.train.loop import Checkpointer, MetricLogger, make_dataloaders, \
+    spec_from_cfg
+from d3net_tpu.train.losses import detector_loss
+from d3net_tpu.train.losses_slt import (
+    caption_loss,
+    grounding_loss,
+    lang_cls_loss,
+    orientation_loss,
+)
+from d3net_tpu.train.trainer import TrainState, make_optimizer
+from d3net_tpu.utils.bbox import box_corners
+
+
+# ---------------------------------------------------------------------------
+# construction
+# ---------------------------------------------------------------------------
+
+def detector_cfg_dict(cfg: Config) -> Dict[str, Any]:
+    return dict(
+        m=cfg.model.m,
+        classes=cfg.data.classes,
+        blocks=tuple(cfg.model.blocks),
+        cluster_blocks=tuple(cfg.model.cluster_blocks),
+        block_reps=cfg.model.block_reps,
+        block_residual=cfg.model.block_residual,
+        use_coords=cfg.model.use_coords,
+        max_num_proposal=cfg.model.max_num_proposal,
+        cluster_radius=cfg.cluster.cluster_radius,
+        cluster_cell_size=cfg.tpu.cluster_cell_size,
+        cluster_ring=cfg.tpu.cluster_ring,
+        cluster_npoint_thre=cfg.cluster.cluster_npoint_thre,
+        cluster_prop_iters=cfg.tpu.cluster_prop_iters,
+        clusters_per_pass=cfg.tpu.clusters_per_pass,
+        score_fullscale=cfg.train.score_fullscale,
+        score_scale=cfg.train.score_scale,
+        test_score_thresh=cfg.test.TEST_SCORE_THRESH,
+        test_npoint_thresh=cfg.test.TEST_NPOINT_THRESH,
+    )
+
+
+def pipeline_from_cfg(cfg: Config, vocab: Vocabulary) -> PipelineNet:
+    return PipelineNet(
+        detector_cfg=detector_cfg_dict(cfg),
+        num_vocabs=len(vocab),
+        sos_id=vocab.sos_id,
+        eos_id=vocab.eos_id,
+        pad_id=vocab.pad_id,
+        num_graph_steps=cfg.model.num_graph_steps,
+        num_locals=cfg.model.num_locals,
+        max_spk_len=cfg.data.max_spk_len,
+        min_iou_threshold=cfg.data.min_iou_threshold,
+        use_relation=cfg.model.use_relation,
+        use_orientation=cfg.model.use_orientation,
+        use_lang_classifier=cfg.model.use_lang_classifier,
+        use_bidir=cfg.model.use_bidir,
+        match_type=cfg.model.match_type,
+        num_text_classes=cfg.model.num_bbox_class,
+        no_captioning=bool(cfg.model.no_captioning),
+        no_grounding=bool(cfg.model.no_grounding),
+    )
+
+
+def lang_rows(lang_np: Dict[str, np.ndarray], emb: np.ndarray) -> Dict[str, jnp.ndarray]:
+    """(B, C, ...) host lang batch -> flattened (B*C, ...) device dict."""
+    out = {}
+    for k, v in lang_np.items():
+        a = jnp.asarray(v)
+        out[k] = a.reshape((-1,) + a.shape[2:])
+    out["glove_embeddings"] = jnp.asarray(emb)
+    return out
+
+
+def expand_rows(det_out: Dict, batch: Dict, chunk_size: int) -> Dict:
+    """Scene-level labels -> description rows for speaker/listener losses."""
+    rep = lambda x: jnp.repeat(x, chunk_size, axis=0)
+    add = {
+        "center_label_chunk": rep(batch["center_label"]),
+        "gt_bbox_chunk": rep(box_corners(batch["center_label"], batch["size_label"])),
+        "proposal_bbox_rows": rep(det_out["proposal_bbox_batched"]),
+        "proposal_sem_cls_batched_rows": rep(det_out["proposal_sem_cls_batched"]),
+    }
+    return add
+
+
+_RNGS = ("cluster_jitter", "proposal_shuffle", "target_sampling", "copy_paste",
+         "dropout")
+
+
+def _rngs(rng, state_step):
+    base = jax.random.fold_in(rng, state_step)
+    keys = jax.random.split(base, len(_RNGS))
+    return dict(zip(_RNGS, keys))
+
+
+# ---------------------------------------------------------------------------
+# train steps (one per pipeline mode)
+# ---------------------------------------------------------------------------
+
+def speaker_train_step(model, rotations_available, state, batch, lang, rng,
+                       chunk_size: int, det_weight=(1.0, 1.0, 1.0, 1.0)):
+    """Mode 1: det -> speaker XE (+0.1 orientation) (ref :152-191)."""
+    rngs = _rngs(rng, state.step)
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        out, mut = model.apply(
+            variables, batch, train=True, method=PipelineNet.run_detector,
+            rngs=rngs, mutable=["batch_stats"],
+        )
+        det_losses = detector_loss(out, batch, loss_weight=det_weight)
+        data = {**out, **lang, **expand_rows(out, batch, chunk_size)}
+        data, mut2 = model.apply(
+            {"params": params, "batch_stats": mut["batch_stats"]},
+            data, mode="tf", rng=rngs["target_sampling"], chunk_size=chunk_size,
+            method=PipelineNet.run_speaker, rngs=rngs, mutable=["batch_stats"],
+        )
+        cap_l, cap_acc = caption_loss(
+            data["lang_cap"], lang["lang_ids"],
+            data["good_bbox_masks"] & (lang["annotated"] > 0),
+            pad_id=model.pad_id,
+        )
+        if model.use_orientation and "scene_object_rotations" in batch:
+            ori_l, ori_acc = orientation_loss(
+                data["edge_orientations"], data["local_ids"], data["local_mask"],
+                out["object_assignment"], batch["scene_object_rotations"],
+                batch["scene_object_rotation_masks"],
+            )
+        else:
+            ori_l = jnp.zeros(())
+            ori_acc = jnp.zeros(())
+        total = det_losses["total_loss"] + cap_l + 0.1 * ori_l
+        metrics = {
+            "detect_loss": det_losses["total_loss"],
+            "captioning_loss": cap_l,
+            "orientation_loss": ori_l,
+            "cap_acc": cap_acc,
+            "ori_acc": ori_acc,
+            "pred_ious": (data["target_ious"] * lang["annotated"]).sum()
+            / jnp.maximum(lang["annotated"].sum(), 1.0),
+            "loss": total,
+        }
+        return total, (metrics, mut2["batch_stats"])
+
+    (_, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    return state.apply_gradients(grads, new_bs), metrics
+
+
+def listener_train_step(model, state, batch, lang, rng, chunk_size: int,
+                        det_weight=(1.0, 1.0, 1.0, 1.0)):
+    """Mode 2: det -> listener XE grounding (ref :193-226)."""
+    rngs = _rngs(rng, state.step)
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        out, mut = model.apply(
+            variables, batch, train=True, method=PipelineNet.run_detector,
+            rngs=rngs, mutable=["batch_stats"],
+        )
+        det_losses = detector_loss(out, batch, loss_weight=det_weight)
+        data = {**out, **lang}
+        emb = lang["glove_embeddings"]
+        word_embs = emb[lang["lang_ids"]]
+        data, mut2 = model.apply(
+            {"params": params, "batch_stats": mut["batch_stats"]},
+            data, word_embs, lang["lang_len"], chunk_size, True,
+            rngs["copy_paste"], method=PipelineNet.run_listener,
+            rngs=rngs, mutable=["batch_stats"],
+        )
+        extra = expand_rows(out, batch, chunk_size)
+        ref_l, ref_m = grounding_loss(
+            data["cluster_ref"], extra["proposal_bbox_rows"],
+            lang["ref_box_corner_label"], lang["annotated"],
+        )
+        lang_l, lang_acc = lang_cls_loss(
+            data["lang_scores"], lang["ref_cat_label"], lang["annotated"]
+        )
+        total = det_losses["total_loss"] + ref_l + lang_l
+        metrics = {
+            "detect_loss": det_losses["total_loss"],
+            "grounding_loss": ref_l,
+            "lobjcls_loss": lang_l,
+            "lang_acc": lang_acc,
+            "loss": total,
+            **ref_m,
+        }
+        return total, (metrics, mut2["batch_stats"])
+
+    (_, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    return state.apply_gradients(grads, new_bs), metrics
+
+
+def make_caption_reward_fn(vocab: Vocabulary, caption_weight: float = 1.0,
+                           bleu_weight: float = 0.0):
+    """Host callback: decoded CIDEr(+BLEU) of candidate ids vs GT ref ids
+    (ref ``compute_caption_reward`` :15-96)."""
+
+    def host_fn(cand_ids: np.ndarray, gt_ids: np.ndarray,
+                annotated: np.ndarray) -> np.ndarray:
+        cand_ids = np.asarray(cand_ids)
+        gt_ids = np.asarray(gt_ids)
+        n = cand_ids.shape[0]
+        gts, cands, keys = {}, {}, []
+        for i in range(n):
+            if annotated[i] <= 0:
+                continue
+            key = str(i)
+            refs = [
+                " ".join(vocab.decode(gt_ids[i], stop_at_eos=True) + ["eos"])
+            ]
+            gts[key] = refs
+            toks = vocab.decode(cand_ids[i], stop_at_eos=True) + ["eos"]
+            cands[key] = [" ".join(toks)]
+            keys.append(i)
+        scores = np.zeros(n, np.float32)
+        if keys:
+            _, cider = capeval.Cider().compute_score(gts, cands)
+            vals = np.asarray(cider, np.float32)
+            if bleu_weight:
+                _, per_n = capeval.bleu(gts, cands, 4)
+                vals = caption_weight * vals + bleu_weight * np.asarray(
+                    per_n[3], np.float32
+                )
+            scores[np.asarray(keys)] = vals
+        return scores
+
+    return host_fn
+
+
+def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
+                        lis_batch, lis_lang, rng, chunk_size: int,
+                        beam_size: int = 3, sample_topn: int = 3,
+                        det_weight=(1.0, 1.0, 1.0, 1.0),
+                        ref_reward_weight: float = 1.0,
+                        lang_reward_weight: float = 1.0,
+                        listener_reward_weight: float = 0.1,
+                        caption_reward_weight: float = 1.0):
+    """Mode 3: joint self-critical RL over two dataloader streams
+    (ref :228-309)."""
+    rngs = _rngs(rng, state.step)
+
+    def loss_fn(params):
+        variables = lambda bs: {"params": params, "batch_stats": bs}
+        bs = state.batch_stats
+        metrics = {}
+
+        # ---------------- speaker stream --------------------------------
+        out, mut = model.apply(
+            variables(bs), spk_batch, train=True,
+            method=PipelineNet.run_detector, rngs=rngs, mutable=["batch_stats"],
+        )
+        bs = mut["batch_stats"]
+        det_spk = detector_loss(out, spk_batch, loss_weight=det_weight)
+        data = {**out, **spk_lang, **expand_rows(out, spk_batch, chunk_size)}
+        data, mut = model.apply(
+            variables(bs), data, mode="rl", rng=rngs["target_sampling"],
+            chunk_size=chunk_size, beam_size=beam_size, sample_topn=sample_topn,
+            method=PipelineNet.run_speaker, rngs=rngs, mutable=["batch_stats"],
+        )
+        bs = mut["batch_stats"]
+        # expanded proposal rows for moderator
+        data["proposal_bbox_batched"] = data["proposal_bbox_rows"]
+        data = model.apply(
+            variables(bs), data, sample_topn, method=PipelineNet.moderator,
+        )
+
+        n_rows = spk_lang["lang_ids"].shape[0]
+        rep_topn = lambda x: jnp.repeat(x, sample_topn, axis=0)
+
+        # listener on sampled captions (trains listener)
+        lis_data = {
+            "proposal_feats_batched": out["proposal_feats_batched"],
+            "proposal_batch_mask": out["proposal_batch_mask"],
+            "proposal_center_batched": out["proposal_center_batched"],
+        }
+        s_out, mut = model.apply(
+            variables(bs), lis_data, data["mod_sampled_embs"],
+            data["mod_sampled_lens"], chunk_size * sample_topn, True,
+            rngs["copy_paste"], method=PipelineNet.run_listener,
+            rngs=rngs, mutable=["batch_stats"],
+        )
+        bs = mut["batch_stats"]
+        prop_rows_topn = rep_topn(data["proposal_bbox_rows"])
+        ref_sampled, ref_m = grounding_loss(
+            s_out["cluster_ref"], prop_rows_topn,
+            data["mod_ref_box_corner_label"], reduce=False,
+        )
+        lang_sampled, _ = lang_cls_loss(
+            s_out["lang_scores"], data["mod_ref_cat_label"], reduce=False
+        )
+        # listener on baseline captions (reward baseline only, no grads)
+        b_out = model.apply(
+            variables(bs), lis_data,
+            jax.lax.stop_gradient(data["mod_baseline_embs"]),
+            data["mod_baseline_lens"], chunk_size * sample_topn, False, None,
+            method=PipelineNet.run_listener,
+        )
+        ref_baseline, _ = grounding_loss(
+            b_out["cluster_ref"], prop_rows_topn,
+            data["mod_ref_box_corner_label"], reduce=False,
+        )
+        lang_baseline, _ = lang_cls_loss(
+            b_out["lang_scores"], data["mod_ref_cat_label"], reduce=False
+        )
+
+        # caption rewards via host CIDEr
+        sampled_flat = data["sampled_cap"].reshape(n_rows * sample_topn, -1)
+        gt_rep = rep_topn(spk_lang["lang_ids"])
+        ann_rep = rep_topn(spk_lang["annotated"])
+        reward_shape = jax.ShapeDtypeStruct((n_rows * sample_topn,), jnp.float32)
+        sampled_scores = io_callback(
+            reward_host_fn, reward_shape, sampled_flat, gt_rep, ann_rep,
+            ordered=False,
+        )
+        baseline_rep = rep_topn(data["baseline_cap"])
+        baseline_scores = io_callback(
+            reward_host_fn, reward_shape, baseline_rep, gt_rep, ann_rep,
+            ordered=False,
+        )
+        caption_reward = sampled_scores - baseline_scores
+        ref_reward = -(jax.lax.stop_gradient(ref_sampled) - jax.lax.stop_gradient(ref_baseline))
+        lang_reward = -(jax.lax.stop_gradient(lang_sampled) - jax.lax.stop_gradient(lang_baseline))
+        listener_reward = (
+            ref_reward_weight * ref_reward + lang_reward_weight * lang_reward
+        )
+        rewards = (
+            caption_reward_weight * caption_reward
+            + listener_reward_weight * listener_reward
+        )
+        logps = data["sampled_logps"].reshape(n_rows * sample_topn, -1).sum(-1)
+        good = rep_topn(data["good_bbox_masks"].astype(jnp.float32))
+        cap_loss_rl = -(rewards * logps * good).sum() / (good.sum() + 1e-8)
+        ann_mask = ann_rep * good
+        metrics["cap_rwd"] = (caption_reward * good).sum() / (good.sum() + 1e-8)
+        metrics["loc_rwd"] = (listener_reward * good).sum() / (good.sum() + 1e-8)
+        metrics["ttl_rwd"] = (rewards * good).sum() / (good.sum() + 1e-8)
+        metrics["cap_acc"] = (sampled_scores * ann_mask).sum() / (
+            ann_mask.sum() + 1e-8
+        )
+
+        spk_ref_loss = (ref_sampled).mean()
+        spk_lang_loss = (lang_sampled).mean()
+
+        # ---------------- listener stream (XE) --------------------------
+        out2, mut = model.apply(
+            variables(bs), lis_batch, train=True,
+            method=PipelineNet.run_detector, rngs=rngs, mutable=["batch_stats"],
+        )
+        bs = mut["batch_stats"]
+        det_lis = detector_loss(out2, lis_batch, loss_weight=det_weight)
+        extra2 = expand_rows(out2, lis_batch, chunk_size)
+        emb = lis_lang["glove_embeddings"]
+        data2 = {**out2, **lis_lang}
+        data2, mut = model.apply(
+            variables(bs), data2, emb[lis_lang["lang_ids"]],
+            lis_lang["lang_len"], chunk_size, True, rngs["copy_paste"],
+            method=PipelineNet.run_listener, rngs=rngs, mutable=["batch_stats"],
+        )
+        bs = mut["batch_stats"]
+        ref2, ref2_m = grounding_loss(
+            data2["cluster_ref"], extra2["proposal_bbox_rows"],
+            lis_lang["ref_box_corner_label"], lis_lang["annotated"],
+        )
+        lang2, lang2_acc = lang_cls_loss(
+            data2["lang_scores"], lis_lang["ref_cat_label"], lis_lang["annotated"]
+        )
+
+        total = (
+            det_spk["total_loss"] + cap_loss_rl + spk_ref_loss + spk_lang_loss
+            + det_lis["total_loss"] + ref2 + lang2
+        )
+        metrics.update(
+            loss=total,
+            spk_detect_loss=det_spk["total_loss"],
+            lis_detect_loss=det_lis["total_loss"],
+            captioning_loss=cap_loss_rl,
+            spk_ref_loss=spk_ref_loss,
+            lis_ref_loss=ref2,
+            lang_acc=lang2_acc,
+            **{f"lis_{k}": v for k, v in ref2_m.items()},
+        )
+        return total, (metrics, bs)
+
+    (_, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    return state.apply_gradients(grads, new_bs), metrics
+
+
+# ---------------------------------------------------------------------------
+# freezing / pretrained weights
+# ---------------------------------------------------------------------------
+
+def make_frozen_optimizer(tx, params, freeze: Dict[str, bool]):
+    """Zero updates for frozen top-level submodules (freeze_* cfg flags)."""
+
+    def label(path_key):
+        top = path_key[0].key if hasattr(path_key[0], "key") else str(path_key[0])
+        return "freeze" if freeze.get(top, False) else "train"
+
+    labels = jax.tree_util.tree_map_with_path(lambda p, _: label(p), params)
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, labels
+    )
+
+
+def load_pretrained_submodule(params, ckpt_dir: str, submodule: str):
+    """Replace params[submodule] from a dumped npz (scripts/prepare_weights)."""
+    import pickle
+
+    with open(os.path.join(ckpt_dir), "rb") as f:
+        sub = pickle.load(f)
+    new = dict(params)
+    new[submodule] = sub
+    return new
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+# ---------------------------------------------------------------------------
+
+def build_vocab(cfg: Config):
+    vocab = Vocabulary.build(base_corpus())
+    emb = embedding_matrix(vocab, cfg.get("glove_path"))
+    return vocab, emb
+
+
+def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = None):
+    os.makedirs(run_dir, exist_ok=True)
+    save_cfg(cfg, os.path.join(run_dir, "config.yaml"))
+    logger = MetricLogger(run_dir)
+    monitor = cfg.general.monitor.split("/")[-1]
+    ckpt = Checkpointer(run_dir, monitor, cfg.general.monitor_mode)
+
+    vocab, emb = build_vocab(cfg)
+    model = pipeline_from_cfg(cfg, vocab)
+    spec = spec_from_cfg(cfg)
+    train_it, val_it = make_dataloaders(cfg, spec, return_scenes=True)
+    chunk = int(cfg.data.num_des_per_scene)
+    mode = 3 if (not cfg.model.no_captioning and not cfg.model.no_grounding) \
+        else (1 if not cfg.model.no_captioning else 2)
+
+    mesh = make_mesh()
+    steps_per_epoch = max(1, len(train_it))
+    tx = make_optimizer(
+        lr=cfg.train.optim.lr, optim=cfg.train.optim.classname,
+        weight_decay=cfg.train.optim.weight_decay,
+        step_epoch=cfg.train.step_epoch, multiplier=cfg.train.multiplier,
+        steps_per_epoch=steps_per_epoch,
+    )
+
+    rng_np = np.random.default_rng(cfg.general.manual_seed)
+
+    def make_lang(batch_scenes):
+        lang_np = build_lang_batch(
+            batch_scenes, vocab, chunk, cfg.data.max_spk_len, rng_np,
+            spec.max_instances,
+            apply_word_erase=bool(cfg.train.get("apply_word_erase", False)),
+        )
+        return lang_rows(lang_np, emb)
+
+    # ---- init over a first batch ---------------------------------------
+    first_scenes = [train_it.scenes[i] for i in range(cfg.data.batch_size)]
+    from d3net_tpu.data.collate import build_batch
+
+    first = shard_batch(jax.tree.map(jnp.asarray, build_batch(first_scenes, spec)), mesh)
+    first_lang = make_lang(first_scenes)
+    init_rngs = {k: jax.random.key(i) for i, k in enumerate(
+        ("params",) + _RNGS)}
+    variables = jax.jit(
+        lambda b, l: model.init(init_rngs, b, l, train=True, chunk_size=chunk)
+    )(first, first_lang)
+    params = variables["params"]
+
+    freeze = {
+        "detector": bool(cfg.model.freeze_detector),
+        "speaker": bool(cfg.model.get("freeze_speaker", False)) and mode != 1,
+        "listener": bool(cfg.model.get("freeze_listener", False)) and mode != 2,
+    }
+    tx = make_frozen_optimizer(tx, params, freeze)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+    state = replicate(state, mesh)
+    restored = ckpt.restore_last(state)
+    if restored is not None:
+        state = restored
+        print(f"resumed from step {int(state.step)}")
+
+    det_w = tuple(cfg.train.loss_weight[:4])
+    if mode == 1:
+        step_fn = jax.jit(functools.partial(
+            speaker_train_step, model, False, chunk_size=chunk,
+            det_weight=det_w), donate_argnums=(0,))
+    elif mode == 2:
+        step_fn = jax.jit(functools.partial(
+            listener_train_step, model, chunk_size=chunk, det_weight=det_w),
+            donate_argnums=(0,))
+    else:
+        reward_fn = make_caption_reward_fn(
+            vocab, cfg.train.caption_reward_weight, 0.0
+        )
+        step_fn = jax.jit(functools.partial(
+            joint_rl_train_step, model, reward_fn, chunk_size=chunk,
+            beam_size=cfg.train.beam_size, sample_topn=cfg.train.sample_topn,
+            det_weight=det_w,
+            ref_reward_weight=cfg.train.ref_reward_weight,
+            lang_reward_weight=cfg.train.lang_reward_weight,
+            listener_reward_weight=cfg.train.listener_reward_weight,
+            caption_reward_weight=cfg.train.caption_reward_weight,
+        ), donate_argnums=(0,))
+
+    rng = jax.random.key(cfg.general.manual_seed + 7)
+    step = int(state.step)
+    for epoch in range(cfg.train.epochs):
+        for batch_np, batch_scenes in train_it:
+            lang = make_lang(batch_scenes)
+            batch = shard_batch(jax.tree.map(jnp.asarray, batch_np), mesh)
+            t0 = time.time()
+            if mode == 3:
+                state, metrics = step_fn(state, batch, lang, batch, lang, rng)
+            else:
+                state, metrics = step_fn(state, batch, lang, rng)
+            step += 1
+            if step % cfg.train.log_every_n_steps == 0:
+                m = jax.device_get(metrics)
+                m["iter_time"] = time.time() - t0
+                logger.log(step, m, "train")
+                print(f"epoch {epoch} step {step} " + " ".join(
+                    f"{k}={float(v):.4f}" for k, v in sorted(m.items())))
+            if max_steps and step >= max_steps:
+                break
+
+        val_metrics = run_pipeline_validation(
+            cfg, model, state, val_it, vocab, emb, chunk, mesh, mode
+        )
+        logger.log(step, val_metrics, "val")
+        print(f"epoch {epoch} VAL " + " ".join(
+            f"{k}={v:.4f}" for k, v in sorted(val_metrics.items())))
+        ckpt.save(step, state, val_metrics)
+        if max_steps and step >= max_steps:
+            break
+    return state
+
+
+def run_pipeline_validation(cfg, model, state, val_it, vocab, emb, chunk,
+                            mesh, mode) -> Dict[str, float]:
+    """Caption CIDEr@0.5IoU + grounding Acc@kIoU over the val split
+    (ref ``validation_epoch_end`` :645-735)."""
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    det_fn = jax.jit(functools.partial(
+        model.apply, variables, train=False, method=PipelineNet.run_detector))
+    cap_eval = CaptionEvaluator(min_iou=cfg.eval.min_iou_threshold)
+    grd_eval = GroundingEvaluator()
+    rng_np = np.random.default_rng(0)
+
+    spk_fn = None
+    lis_fn = None
+    out: Dict[str, float] = {}
+    for batch_np, scenes in val_it:
+        batch = shard_batch(jax.tree.map(jnp.asarray, batch_np), mesh)
+        det_out = det_fn(batch)
+
+        lang_np = build_lang_batch(
+            scenes, vocab, chunk, cfg.data.max_spk_len, rng_np,
+            val_it.spec.max_instances,
+        )
+        lang = lang_rows(lang_np, emb)
+
+        if mode in (1, 3):
+            if spk_fn is None:
+                spk_fn = jax.jit(functools.partial(
+                    model.apply, variables, mode="eval",
+                    method=PipelineNet.run_speaker))
+            data = {**det_out, "glove_embeddings": jnp.asarray(emb)}
+            data = spk_fn(data)
+            ids = np.asarray(data["lang_cap"])
+            corners = np.asarray(det_out["proposal_bbox_batched"])
+            mask = np.asarray(det_out["proposal_batch_mask"])
+            for i, scene in enumerate(scenes):
+                captions = decode_captions(ids[i], vocab)
+                nb = len(scene.instance_bboxes)
+                gt_c = np.stack([
+                    box_corners(bb[:3], bb[3:6]) for bb in scene.instance_bboxes
+                ]) if nb else np.zeros((0, 8, 3))
+                gt_m = np.ones(nb)
+                from d3net_tpu.data.language import describe_instance
+
+                gt_desc = {
+                    j: [" ".join(describe_instance(scene, j, np.random.default_rng(0)))]
+                    for j in range(nb)
+                }
+                cap_eval.add_scene(scene.scene_id, captions, corners[i], mask[i],
+                                   gt_c, gt_m, gt_desc)
+
+        if mode in (2, 3):
+            if lis_fn is None:
+                lis_fn = jax.jit(functools.partial(
+                    model.apply, variables, train=False, rng=None,
+                    method=PipelineNet.run_listener),
+                    static_argnames=("chunk_size",))
+            data = {**det_out, **lang}
+            word_embs = lang["glove_embeddings"][lang["lang_ids"]]
+            data = lis_fn(data, word_embs, lang["lang_len"], chunk_size=chunk)
+            prop_rows = np.repeat(
+                np.asarray(det_out["proposal_bbox_batched"]), chunk, axis=0)
+            mask_rows = np.repeat(
+                np.asarray(det_out["proposal_batch_mask"]), chunk, axis=0)
+            grd_eval.add(
+                np.asarray(data["cluster_ref"]), prop_rows, mask_rows,
+                np.asarray(lang["ref_box_corner_label"]),
+                np.asarray(lang["annotated"]),
+            )
+
+    if mode in (1, 3):
+        out.update({f"{k}": v for k, v in cap_eval.compute().items()})
+    if mode in (2, 3):
+        out.update({f"ref_iou_rate_{k.split('@')[-1]}" if "acc@" in k else k: v
+                    for k, v in grd_eval.compute().items()})
+    if "cider" in out and "ref_iou_rate_0.5" in out:
+        out["combined"] = out["cider"] + out["ref_iou_rate_0.5"]
+    return out
