@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from d3net_tpu.ops.sparse_conv import sparse_conv
+from d3net_tpu.ops.sparse_conv import sparse_conv_t
 
 # Per-level table dict keys (batched, static shapes):
 #   nbr  (B, M_l, 27)   submanifold table, INVALID = M_l cap
@@ -27,7 +27,7 @@ from d3net_tpu.ops.sparse_conv import sparse_conv
 #   up   (B, M_l, 8)     transposed-conv table into level l+1  (absent on last)
 LevelTables = Dict[str, Any]
 
-_batched_conv = jax.vmap(sparse_conv, in_axes=(0, 0, None))
+_batched_conv = jax.vmap(sparse_conv_t, in_axes=(0, 0, 0, None, None))
 
 
 class MaskedBatchNorm(nn.Module):
@@ -69,20 +69,27 @@ class MaskedBatchNorm(nn.Module):
 
 
 class SubmConv(nn.Module):
-    """Stride-1 sparse conv over a neighbor table (kernel folded into fan-in)."""
+    """Stride-1 sparse conv over a neighbor table (kernel folded into fan-in).
+
+    ``nbr_t``/``flip_t`` route the backward through the transpose gather
+    table (see ops.sparse_conv.sparse_conv_t); submanifold convs are
+    self-transpose under kernel mirroring, so callers may omit them.
+    """
 
     out_channels: int
     kernel_volume: int = 27
 
     @nn.compact
-    def __call__(self, feats, nbr):
+    def __call__(self, feats, nbr, nbr_t=None, flip_t: bool = True):
         cin = feats.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
             (self.kernel_volume, cin, self.out_channels),
         )
-        return _batched_conv(feats, nbr, w)
+        if nbr_t is None:
+            nbr_t = nbr
+        return _batched_conv(feats, nbr, nbr_t, w, flip_t)
 
 
 class ResidualBlock(nn.Module):
@@ -137,14 +144,18 @@ class UBlock(nn.Module):
             identity = x
             h = MaskedBatchNorm()(x, t0["mask"], train)
             h = nn.relu(h)
-            h = SubmConv(self.planes[1], kernel_volume=8)(h, t0["down"])
+            h = SubmConv(self.planes[1], kernel_volume=8)(
+                h, t0["down"], t0["up"], False
+            )
             h = UBlock(self.planes[1:], self.block_reps, self.residual)(
                 h, tables[1:], train
             )
             t1 = tables[1]
             h = MaskedBatchNorm()(h, t1["mask"], train)
             h = nn.relu(h)
-            h = SubmConv(self.planes[0], kernel_volume=8)(h, t0["up"])
+            h = SubmConv(self.planes[0], kernel_volume=8)(
+                h, t0["up"], t0["down"], False
+            )
             x = jnp.concatenate([identity, h], axis=-1)
             for i in range(self.block_reps):
                 x = block(self.planes[0])(x, t0["nbr"], t0["mask"], train)

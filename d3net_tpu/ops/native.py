@@ -1,0 +1,109 @@
+"""ctypes bindings for the C++ host kernels (cc/libd3net_host.so).
+
+Builds the shared library on first import if the toolchain is available;
+every entry point returns None-equivalents gracefully so
+:mod:`d3net_tpu.ops.voxelize` can fall back to its numpy implementation.
+The C++ kernels emit byte-identical outputs to the numpy path (same key
+packing, same id ordering) — tests/test_native.py asserts this.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_CC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "cc")
+_LIB_PATH = os.path.join(_CC_DIR, "libd3net_host.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-C", _CC_DIR], check=True, capture_output=True, timeout=120
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.d3_voxelize.restype = ctypes.c_int64
+        lib.d3_voxelize.argtypes = [i32p, ctypes.c_int64, i32p, i32p]
+        lib.d3_subm_table.restype = None
+        lib.d3_subm_table.argtypes = [i32p, ctypes.c_int64, i32p]
+        lib.d3_downsample.restype = ctypes.c_int64
+        lib.d3_downsample.argtypes = [i32p, ctypes.c_int64, i32p, i32p]
+        lib.d3_upsample.restype = None
+        lib.d3_upsample.argtypes = [i32p, ctypes.c_int64, i32p, ctypes.c_int64, i32p]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _c(coords: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(coords, dtype=np.int32)
+
+
+def voxelize(coords: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    lib = get_lib()
+    coords = _c(coords)
+    n = len(coords)
+    p2v = np.empty(n, np.int32)
+    vc = np.empty((n, 3), np.int32)
+    m = lib.d3_voxelize(_ptr(coords), n, _ptr(p2v), _ptr(vc))
+    vc = vc[:m].copy()
+    counts = np.bincount(p2v, minlength=m).astype(np.int32)
+    return vc, p2v, counts
+
+
+def submanifold_table(coords: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    coords = _c(coords)
+    m = len(coords)
+    nbr = np.empty((m, 27), np.int32)
+    lib.d3_subm_table(_ptr(coords), m, _ptr(nbr))
+    return nbr
+
+
+def downsample_level(coords: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    lib = get_lib()
+    coords = _c(coords)
+    m = len(coords)
+    coarse = np.empty((max(m, 1), 3), np.int32)
+    down = np.empty((max(m, 1), 8), np.int32)
+    mc = lib.d3_downsample(_ptr(coords), m, _ptr(coarse), _ptr(down))
+    return coarse[:mc].copy(), down[:mc].copy()
+
+
+def upsample_table(fine: np.ndarray, coarse: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    fine, coarse = _c(fine), _c(coarse)
+    up = np.empty((len(fine), 8), np.int32)
+    lib.d3_upsample(_ptr(fine), len(fine), _ptr(coarse), len(coarse), _ptr(up))
+    return up

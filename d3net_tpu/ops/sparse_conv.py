@@ -18,7 +18,25 @@ different tables (see :mod:`d3net_tpu.ops.voxelize`).
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+
+
+# Output rows processed per sequential chunk. Bounds the transient
+# (chunk, K*Cin) gathered operand to ~tens of MB regardless of voxel count —
+# without chunking, XLA materializes (M, K*Cin) temps per conv (hundreds of
+# MB at 10^5 voxels) and the backward OOMs on 16GB HBM.
+_CHUNK = 8192
+
+
+def _conv_block(padded, nbr_block, wflat, precision):
+    m, k = nbr_block.shape
+    gathered = padded[nbr_block].reshape(m, -1)
+    return jnp.dot(
+        gathered, wflat, preferred_element_type=jnp.float32, precision=precision
+    )
 
 
 def sparse_conv(feats, nbr, weight, precision=None):
@@ -34,16 +52,70 @@ def sparse_conv(feats, nbr, weight, precision=None):
         (M_out, Cout)
     """
     k, cin, cout = weight.shape
-    padded = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
-    gathered = padded[nbr]  # (M_out, K, Cin)
     m_out = nbr.shape[0]
-    out = jnp.dot(
-        gathered.reshape(m_out, k * cin),
-        weight.reshape(k * cin, cout).astype(feats.dtype),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )
+    padded = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+    wflat = weight.reshape(k * cin, cout).astype(feats.dtype)
+    if m_out > _CHUNK and m_out % _CHUNK == 0:
+        out = jax.lax.map(
+            lambda nb: _conv_block(padded, nb, wflat, precision),
+            nbr.reshape(-1, _CHUNK, k),
+        ).reshape(m_out, cout)
+    else:
+        out = _conv_block(padded, nbr, wflat, precision)
     return out.astype(feats.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def sparse_conv_t(feats, nbr, nbr_t, weight, flip_t: bool = False):
+    """``sparse_conv`` with a gather-only backward via the transpose table.
+
+    The naive VJP of gather+matmul saves the (M, K*Cin) gathered operand and
+    scatters gradients — both HBM killers at 10^5 voxels.  Sparse-conv
+    tables have exact transposes that are themselves gather tables:
+
+    - submanifold 3^3: ``nbr(i,k)=j  <=>  nbr(j, flip(k))=i`` on the same
+      coordinate set -> nbr_t = nbr with ``flip_t=True`` (kernel mirrored);
+    - stride-2 down-conv table and the transposed-conv up table of the same
+      level pair are mutual transposes -> pass the sibling table.
+
+    So d feats = gather-matmul(g, nbr_t, W^T) and dW re-gathers the inputs:
+    zero extra residual memory, zero scatters.
+    """
+    return sparse_conv(feats, nbr, weight)
+
+
+def _sct_fwd(feats, nbr, nbr_t, weight, flip_t):
+    return sparse_conv(feats, nbr, weight), (feats, nbr, nbr_t, weight)
+
+
+def _sct_bwd(flip_t, res, g):
+    feats, nbr, nbr_t, weight = res
+    k, cin, cout = weight.shape
+    wt = weight[::-1] if flip_t else weight
+    wt = jnp.swapaxes(wt, 1, 2)  # (K, Cout, Cin)
+    # pad g to the width nbr_t expects (INVALID = len(g))
+    dfeats = sparse_conv(g, nbr_t, wt)[: feats.shape[0]]
+    # dW[k] = gathered^T @ g, accumulated over row chunks
+    padded = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+    m_out = nbr.shape[0]
+
+    def dw_block(nbr_block, g_block):
+        gathered = padded[nbr_block]  # (chunk, K, Cin)
+        return jnp.einsum(
+            "mkc,md->kcd", gathered, g_block, preferred_element_type=jnp.float32
+        )
+
+    if m_out > _CHUNK and m_out % _CHUNK == 0:
+        dw = jax.lax.map(
+            lambda args: dw_block(*args),
+            (nbr.reshape(-1, _CHUNK, k), g.reshape(-1, _CHUNK, cout)),
+        ).sum(0)
+    else:
+        dw = dw_block(nbr, g)
+    return dfeats, None, None, dw.astype(weight.dtype)
+
+
+sparse_conv_t.defvjp(_sct_fwd, _sct_bwd)
 
 
 def sparse_upconv_onehot(feats, parent, offset_id, weight, num_offsets=8):

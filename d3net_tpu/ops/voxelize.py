@@ -35,6 +35,8 @@ from typing import List, Optional
 
 import numpy as np
 
+from d3net_tpu.ops import native
+
 # Coordinate bound per axis after packing. ScanNet full_scale is <= 512;
 # downsampled levels and cluster grids are far smaller. Coords may go
 # slightly negative after integer division of negatives, so keys are biased.
@@ -62,6 +64,8 @@ def voxelize(coords: np.ndarray):
     v2p rulebook is implicit — device-side scatters use ``p2v`` with
     ``jax.ops.segment_*`` instead of the CUDA (M, maxActive) table.
     """
+    if native.available():
+        return native.voxelize(coords)
     keys = pack_keys(coords)
     uniq, p2v, counts = np.unique(keys, return_inverse=True, return_counts=True)
     # representative coords: first occurrence per voxel
@@ -98,6 +102,8 @@ def _offsets(kernel_size: int) -> np.ndarray:
 
 def submanifold_table(coords: np.ndarray, kernel_size: int = 3) -> np.ndarray:
     """(M, 3) voxel coords -> (M, k^3) stride-1 neighbor table (INVALID = M)."""
+    if kernel_size == 3 and native.available():
+        return native.submanifold_table(coords)
     m = len(coords)
     keys = pack_keys(coords)
     order = np.argsort(keys)
@@ -119,6 +125,8 @@ def downsample_level(coords: np.ndarray):
         down (M2, 8) int32 — for coarse voxel p and offset k in {0,1}^3, the
         fine voxel index at 2p + k, or INVALID (= M_fine).
     """
+    if native.available():
+        return native.downsample_level(coords)
     m = len(coords)
     coarse = np.floor_divide(coords.astype(np.int64), 2)
     coarse_coords = np.unique(coarse, axis=0).astype(np.int32)
@@ -144,6 +152,8 @@ def upsample_table(fine_coords: np.ndarray, coarse_coords: np.ndarray) -> np.nda
     (INVALID = M_coarse elsewhere) so upconv uses the same gather-matmul
     kernel as every other conv.
     """
+    if native.available():
+        return native.upsample_table(fine_coords, coarse_coords)
     mc = len(coarse_coords)
     ckeys = pack_keys(coarse_coords)
     order = np.argsort(ckeys)

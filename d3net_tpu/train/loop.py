@@ -146,10 +146,12 @@ def make_dataloaders(cfg: Config, spec: BatchSpec, return_scenes: bool = False):
     syn = cfg.data.synthetic
     kw = dict(
         num_instances=syn.num_instances,
-        points_per_instance=syn.points_per_instance,
+        points_per_instance=syn.get("points_per_instance", 3000),
         floor_points=syn.floor_points,
         room=syn.room,
         with_multiview=bool(cfg.model.use_multiview),
+        density=syn.get("density"),
+        size_range=tuple(syn.get("size_range", (0.3, 1.2))),
     )
     train_scenes = SyntheticScenes(syn.num_scenes, "train", **kw)
     val_scenes = SyntheticScenes(max(2, syn.num_scenes // 8), "val", **kw)

@@ -443,15 +443,25 @@ def make_frozen_optimizer(tx, params, freeze: Dict[str, bool]):
     )
 
 
-def load_pretrained_submodule(params, ckpt_dir: str, submodule: str):
-    """Replace params[submodule] from a dumped npz (scripts/prepare_weights)."""
+def apply_pretrained(params, batch_stats, cfg: Config):
+    """Load submodule weights dumped by scripts/prepare_weights.py
+    (ref per-rank loading in ``scripts/train.py:288-310``)."""
     import pickle
 
-    with open(os.path.join(ckpt_dir), "rb") as f:
-        sub = pickle.load(f)
-    new = dict(params)
-    new[submodule] = sub
-    return new
+    params = dict(params)
+    batch_stats = dict(batch_stats) if batch_stats else {}
+    for sub in ("detector", "speaker", "listener"):
+        path = cfg.model.get(f"pretrained_{sub}")
+        if not path:
+            continue
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        assert sub in params, f"{sub} not in model params"
+        params[sub] = payload["params"]
+        if payload.get("batch_stats"):
+            batch_stats[sub] = payload["batch_stats"]
+        print(f"loaded pretrained {sub} from {path}")
+    return params, batch_stats
 
 
 # ---------------------------------------------------------------------------
@@ -510,6 +520,8 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
         lambda b, l: model.init(init_rngs, b, l, train=True, chunk_size=chunk)
     )(first, first_lang)
     params = variables["params"]
+    batch_stats0 = variables.get("batch_stats", {})
+    params, batch_stats0 = apply_pretrained(params, batch_stats0, cfg)
 
     freeze = {
         "detector": bool(cfg.model.freeze_detector),
@@ -520,7 +532,7 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        batch_stats=variables.get("batch_stats", {}),
+        batch_stats=batch_stats0,
         opt_state=tx.init(params),
         tx=tx,
     )

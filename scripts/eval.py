@@ -102,11 +102,11 @@ def main():
     if args.task == "detection":
         eval_detection(cfg, args.folder)
     elif args.task == "captioning":
-        from d3net_tpu.eval.caption_eval import eval_captioning_cli
+        from d3net_tpu.eval.cli import eval_captioning_cli
 
         eval_captioning_cli(cfg, args.folder)
     else:
-        from d3net_tpu.eval.grounding_eval import eval_grounding_cli
+        from d3net_tpu.eval.cli import eval_grounding_cli
 
         eval_grounding_cli(cfg, args.folder)
 

@@ -123,3 +123,85 @@ def test_conv_with_padding_and_invalid_entries():
         sparse_conv(jnp.asarray(feats[:m]), jnp.asarray(nbr_small), jnp.asarray(w))
     )
     np.testing.assert_allclose(got[:m], want, atol=1e-5)
+
+
+def test_custom_vjp_matches_autodiff():
+    """sparse_conv_t backward (transpose-table gather) == naive autodiff."""
+    from d3net_tpu.ops.sparse_conv import sparse_conv_t
+    import jax
+
+    rng = np.random.default_rng(7)
+    coords = np.unique(rng.integers(0, 6, size=(70, 3)), axis=0)
+    m = len(coords)
+    cin, cout = 4, 5
+    feats = jnp.asarray(rng.normal(size=(m, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+    nbr = jnp.asarray(submanifold_table(coords))
+    cot = jnp.asarray(rng.normal(size=(m, cout)).astype(np.float32))
+
+    def loss_naive(f, ww):
+        return (sparse_conv(f, nbr, ww) * cot).sum()
+
+    def loss_t(f, ww):
+        return (sparse_conv_t(f, nbr, nbr, ww, True) * cot).sum()
+
+    gf_n, gw_n = jax.grad(loss_naive, argnums=(0, 1))(feats, w)
+    gf_t, gw_t = jax.grad(loss_t, argnums=(0, 1))(feats, w)
+    np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_n), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_t), np.asarray(gw_n), atol=1e-4)
+
+    # strided pair: down conv with up-table transpose
+    coarse, down = downsample_level(coords)
+    up = upsample_table(coords, coarse)
+    mc = len(coarse)
+    w2 = jnp.asarray(rng.normal(size=(8, cin, cout)).astype(np.float32) * 0.1)
+    cot2 = jnp.asarray(rng.normal(size=(mc, cout)).astype(np.float32))
+    downj, upj = jnp.asarray(down), jnp.asarray(up)
+
+    def dn_naive(f, ww):
+        return (sparse_conv(f, downj, ww) * cot2).sum()
+
+    def dn_t(f, ww):
+        return (sparse_conv_t(f, downj, upj, ww, False) * cot2).sum()
+
+    gf_n, gw_n = jax.grad(dn_naive, argnums=(0, 1))(feats, w2)
+    gf_t, gw_t = jax.grad(dn_t, argnums=(0, 1))(feats, w2)
+    np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_n), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_t), np.asarray(gw_n), atol=1e-4)
+
+    # up conv with down-table transpose
+    featsc = jnp.asarray(rng.normal(size=(mc, cin)).astype(np.float32))
+    cot3 = jnp.asarray(rng.normal(size=(m, cout)).astype(np.float32))
+
+    def up_naive(f, ww):
+        return (sparse_conv(f, upj, ww) * cot3).sum()
+
+    def up_t(f, ww):
+        return (sparse_conv_t(f, upj, downj, ww, False) * cot3).sum()
+
+    gf_n, gw_n = jax.grad(up_naive, argnums=(0, 1))(featsc, w2)
+    gf_t, gw_t = jax.grad(up_t, argnums=(0, 1))(featsc, w2)
+    np.testing.assert_allclose(np.asarray(gf_t), np.asarray(gf_n), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_t), np.asarray(gw_n), atol=1e-4)
+
+
+def test_chunked_path_matches_unchunked(monkeypatch):
+    import d3net_tpu.ops.sparse_conv as SC
+
+    rng = np.random.default_rng(9)
+    coords = np.unique(rng.integers(0, 10, size=(400, 3)), axis=0)
+    m = len(coords)
+    # pad to a multiple of a small chunk to force the lax.map path
+    monkeypatch.setattr(SC, "_CHUNK", 64)
+    cap = ((m + 63) // 64) * 64 * 2
+    levels = build_unet_maps(coords, [cap])
+    nbr = jnp.asarray(levels[0].nbr)
+    cin, cout = 6, 7
+    feats = np.zeros((cap, cin), np.float32)
+    feats[:m] = rng.normal(size=(m, cin))
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32) * 0.1)
+    fj = jnp.asarray(feats)
+    got = np.asarray(SC.sparse_conv(fj, nbr, w))
+    monkeypatch.setattr(SC, "_CHUNK", 1 << 30)  # force unchunked
+    want = np.asarray(SC.sparse_conv(fj, nbr, w))
+    np.testing.assert_allclose(got, want, atol=1e-5)
