@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from d3net_tpu import runtime as _rt
+_rt.setup()
 from d3net_tpu.data.collate import BatchSpec, build_batch
 from d3net_tpu.data.synthetic import make_scene
 from d3net_tpu.models.pointgroup import PointGroup

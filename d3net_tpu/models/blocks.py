@@ -132,10 +132,16 @@ class UBlock(nn.Module):
     planes: Sequence[int]
     block_reps: int = 2
     residual: bool = True
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x, tables: List[LevelTables], train: bool):
         block = ResidualBlock if self.residual else VGGBlock
+        if self.remat:
+            # TPU activations with small channel dims pad 2-8x in HBM
+            # (lane tiling); storing every block activation for backward
+            # OOMs at 10^5 voxels. Recompute blocks in the backward pass.
+            block = nn.remat(block, static_argnums=(4,))
         t0 = tables[0]
         for _ in range(self.block_reps):
             x = block(self.planes[0])(x, t0["nbr"], t0["mask"], train)
@@ -147,9 +153,8 @@ class UBlock(nn.Module):
             h = SubmConv(self.planes[1], kernel_volume=8)(
                 h, t0["down"], t0["up"], False
             )
-            h = UBlock(self.planes[1:], self.block_reps, self.residual)(
-                h, tables[1:], train
-            )
+            h = UBlock(self.planes[1:], self.block_reps, self.residual,
+                       self.remat)(h, tables[1:], train)
             t1 = tables[1]
             h = MaskedBatchNorm()(h, t1["mask"], train)
             h = nn.relu(h)

@@ -71,6 +71,9 @@ class PointGroup(nn.Module):
     # proposal thresholds (test.TEST_* in the reference config)
     test_score_thresh: float = 0.09
     test_npoint_thresh: int = 100
+    # GT-proposal modes 4-6: clusters come from GT instance masks
+    # (ref requires_gt_mask / _generate_gt_clusters, pipeline.py:320-323)
+    requires_gt_mask: bool = False
 
     def setup(self):
         planes = tuple(self.m * c for c in self.blocks)
@@ -236,32 +239,50 @@ class PointGroup(nn.Module):
         if not do_clustering:
             return out
 
-        # --- clustering (voxel level) ---------------------------------
-        vxyz = jax.vmap(voxelize_feats, in_axes=(0, 0, None, 0))(
-            point_xyz, p2v, m0cap, point_mask
-        )
-        vweight = jax.vmap(
-            lambda ids, mask: seg.segment_count(ids, m0cap, mask=mask)
-        )(p2v, point_mask)
-        vsem_pred = jnp.argmax(sem_scores_v, axis=-1).astype(jnp.int32)
-        vvalid = vmask.astype(bool) & (vsem_pred > 0)
-        vshift = vxyz + offsets_v
-
-        member_v, cluster_mask, _ = jax.vmap(
-            lambda o, s, sm, va, w: self._cluster(jnp.stack([o, s]), sm, va, w)
-        )(vxyz, vshift, vsem_pred, vvalid, vweight)
-
-        # point-level membership
-        def to_points(member_1v, p2v_1, pm):
-            mp = seg.gather_padded(member_1v[:, None].astype(jnp.int32), p2v_1)[:, 0]
-            full = jnp.where(p2v_1 >= m0cap, -1, mp)
-            return jnp.where(pm, full, -1)
-
-        member_pt = jax.vmap(
-            lambda mv, p2v_1, pm: jnp.stack(
-                [to_points(mv[0], p2v_1, pm), to_points(mv[1], p2v_1, pm)]
+        if self.requires_gt_mask:
+            # GT instances as proposals (modes 4-6): pass 0 carries the GT
+            # membership, pass 1 is empty
+            inst = batch["instance_ids"]
+            p_cap = 2 * self.clusters_per_pass
+            gt_member = jnp.where(
+                point_mask & (inst >= 0) & (inst < p_cap), inst, -1
+            ).astype(jnp.int32)
+            member_pt = jnp.stack(
+                [gt_member, jnp.full_like(gt_member, -1)], axis=1
+            )                                               # (B, 2, N)
+            counts = jax.vmap(
+                lambda mm, pm: seg.segment_count(
+                    jnp.where(mm >= 0, mm, p_cap), p_cap, mask=pm & (mm >= 0)
+                )
+            )(gt_member, point_mask)
+            cluster_mask = counts >= float(self.cluster_npoint_thre)
+        else:
+            # --- clustering (voxel level) -----------------------------
+            vxyz = jax.vmap(voxelize_feats, in_axes=(0, 0, None, 0))(
+                point_xyz, p2v, m0cap, point_mask
             )
-        )(member_v, p2v, point_mask)                        # (B, 2, N)
+            vweight = jax.vmap(
+                lambda ids, mask: seg.segment_count(ids, m0cap, mask=mask)
+            )(p2v, point_mask)
+            vsem_pred = jnp.argmax(sem_scores_v, axis=-1).astype(jnp.int32)
+            vvalid = vmask.astype(bool) & (vsem_pred > 0)
+            vshift = vxyz + offsets_v
+
+            member_v, cluster_mask, _ = jax.vmap(
+                lambda o, s, sm, va, w: self._cluster(jnp.stack([o, s]), sm, va, w)
+            )(vxyz, vshift, vsem_pred, vvalid, vweight)
+
+            # point-level membership
+            def to_points(member_1v, p2v_1, pm):
+                mp = seg.gather_padded(member_1v[:, None].astype(jnp.int32), p2v_1)[:, 0]
+                full = jnp.where(p2v_1 >= m0cap, -1, mp)
+                return jnp.where(pm, full, -1)
+
+            member_pt = jax.vmap(
+                lambda mv, p2v_1, pm: jnp.stack(
+                    [to_points(mv[0], p2v_1, pm), to_points(mv[1], p2v_1, pm)]
+                )
+            )(member_v, p2v, point_mask)                    # (B, 2, N)
         out["member_pt"] = member_pt
         out["cluster_mask_all"] = cluster_mask              # (B, P)
 

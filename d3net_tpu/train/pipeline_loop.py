@@ -71,6 +71,7 @@ def detector_cfg_dict(cfg: Config) -> Dict[str, Any]:
         score_scale=cfg.train.score_scale,
         test_score_thresh=cfg.test.TEST_SCORE_THRESH,
         test_npoint_thresh=cfg.test.TEST_NPOINT_THRESH,
+        requires_gt_mask=bool(cfg.data.get("requires_gt_mask", False)),
     )
 
 

@@ -16,6 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from d3net_tpu import runtime as _rt
+_rt.setup()
 from d3net_tpu import config as cfg_lib
 
 
@@ -86,7 +88,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--folder", required=True)
     parser.add_argument(
-        "--task", required=True, choices=["detection", "captioning", "grounding"]
+        "--task", required=True,
+        choices=["detection", "captioning", "grounding", "scannet"],
     )
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
@@ -101,6 +104,10 @@ def main():
 
     if args.task == "detection":
         eval_detection(cfg, args.folder)
+    elif args.task == "scannet":
+        from d3net_tpu.eval.cli import eval_scannet_cli
+
+        eval_scannet_cli(cfg, args.folder)
     elif args.task == "captioning":
         from d3net_tpu.eval.cli import eval_captioning_cli
 

@@ -11,6 +11,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from d3net_tpu import runtime as _rt
+_rt.setup()
 from d3net_tpu import config as cfg_lib
 
 
