@@ -74,6 +74,13 @@ class PointGroup(nn.Module):
     # GT-proposal modes 4-6: clusters come from GT instance masks
     # (ref requires_gt_mask / _generate_gt_clusters, pipeline.py:320-323)
     requires_gt_mask: bool = False
+    # optional VoteNet-style bbox regression head (ref pred_bbox path,
+    # model/pointgroup.py:94-106 + decode_bbox_prediction :181-214; the
+    # reference ships it disabled — crop_bbox is the production path)
+    pred_bbox: bool = False
+    num_heading_bin: int = 1
+    num_size_cluster: int = 18
+    num_bbox_class: int = 18
 
     def setup(self):
         planes = tuple(self.m * c for c in self.blocks)
@@ -86,6 +93,14 @@ class PointGroup(nn.Module):
         self.offset_fc2 = nn.Dense(3)
         score_planes = tuple(self.m * c for c in self.cluster_blocks)
         self.score_net = ScoreNet(score_planes, self.block_reps)
+        if self.pred_bbox:
+            self.bbox_fc1 = nn.Dense(self.m, use_bias=False)
+            self.bbox_bn1 = MaskedBatchNorm()
+            self.bbox_fc2 = nn.Dense(self.m, use_bias=False)
+            self.bbox_bn2 = MaskedBatchNorm()
+            out_dim = (3 + self.num_heading_bin * 2
+                       + self.num_size_cluster * 4 + self.num_bbox_class)
+            self.bbox_out = nn.Dense(out_dim)
 
     # ------------------------------------------------------------------
     def backbone(self, voxel_feats, tables, train: bool):
@@ -109,7 +124,13 @@ class PointGroup(nn.Module):
 
         Returns member (2, Mcap) int32 in [0, 2*clusters_per_pass) or -1,
         plus (2*clusters_per_pass,) slot mask and point counts.
+
+        Grouping is non-differentiable (the reference runs CPU BFS): without
+        the stop_gradients, autodiff saves every (K, M) neighbor-search
+        intermediate and sort permutation as residuals — gigabytes of HBM.
         """
+        vxyz = jax.lax.stop_gradient(vxyz)
+        vweight = jax.lax.stop_gradient(vweight)
         run = functools.partial(
             grid_cluster,
             cell_size=self.cluster_cell_size,
@@ -352,6 +373,26 @@ class PointGroup(nn.Module):
         out["proposal_scores_batched"] = (
             jnp.take_along_axis(objness, top_idx, axis=1) * proposal_mask
         )
+
+        if self.pred_bbox:
+            # VoteNet-parameterized bbox regression on pooled cluster feats
+            h = self.bbox_fc1(pooled)
+            h = nn.relu(self.bbox_bn1(h, cluster_mask, train))
+            h = self.bbox_fc2(h)
+            h = nn.relu(self.bbox_bn2(h, cluster_mask, train))
+            enc = self.bbox_out(h)                        # (B, P, D)
+            nh, ns = self.num_heading_bin, self.num_size_cluster
+            out["pred_center"] = stats["center"] + enc[..., :3]
+            out["heading_scores"] = enc[..., 3 : 3 + nh]
+            out["heading_residuals_normalized"] = enc[..., 3 + nh : 3 + 2 * nh]
+            out["heading_residuals"] = (
+                out["heading_residuals_normalized"] * (jnp.pi / nh)
+            )
+            out["size_scores"] = enc[..., 3 + 2 * nh : 3 + 2 * nh + ns]
+            out["size_residuals_normalized"] = enc[
+                ..., 3 + 2 * nh + ns : 3 + 2 * nh + 4 * ns
+            ].reshape(enc.shape[:-1] + (ns, 3))
+            out["sem_cls_scores"] = enc[..., 3 + 2 * nh + 4 * ns :]
 
         # GT object assignment (training/eval bookkeeping)
         if "center_label" in batch:

@@ -54,15 +54,20 @@ def pair_searchsorted(sorted_hi, sorted_lo, qhi, qlo):
     """
     n = sorted_hi.shape[0]
     iters = max(1, math.ceil(math.log2(max(n, 2))) + 1)
-    low = jnp.zeros(qhi.shape, jnp.int32)
-    high = jnp.full(qhi.shape, n, jnp.int32)
-    for _ in range(iters):
+
+    def body(_, lh):
+        low, high = lh
         cont = low < high
         mid = (low + high) // 2
         midc = jnp.minimum(mid, n - 1)
         less = _pair_less(sorted_hi[midc], sorted_lo[midc], qhi, qlo)
         low = jnp.where(cont & less, mid + 1, low)
         high = jnp.where(cont & ~less, mid, high)
+        return low, high
+
+    low = jnp.zeros(qhi.shape, jnp.int32)
+    high = jnp.full(qhi.shape, n, jnp.int32)
+    low, _ = jax.lax.fori_loop(0, iters, body, (low, high))
     return low
 
 

@@ -207,14 +207,22 @@ def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
     eval_step = jit_eval_step(model)
     rng = jax.random.key(cfg.general.manual_seed + 1)
 
+    profile_at = int(cfg.get("log", {}).get("profile_step", 0) or 0) if hasattr(cfg.get("log", {}), "get") else 0
+
     step = int(state.step)
     for epoch in range(cfg.train.epochs):
         t_epoch = time.time()
         for batch_np in train_it:
             batch = shard_batch(batch_np, mesh)
+            if profile_at and step == profile_at:
+                jax.profiler.start_trace(os.path.join(run_dir, "profile"))
             t0 = time.time()
             state, metrics = train_step(state, batch, rng)
             step += 1
+            if profile_at and step == profile_at + 3:
+                jax.block_until_ready(metrics["total_loss"])
+                jax.profiler.stop_trace()
+                print(f"profile written to {run_dir}/profile")
             if step % cfg.train.log_every_n_steps == 0:
                 metrics = jax.device_get(metrics)
                 metrics["iter_time"] = time.time() - t0
