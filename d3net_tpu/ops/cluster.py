@@ -143,14 +143,17 @@ def grid_cluster(
         & (cell_slot < num_cells)
     )
 
-    # cell centroids (weighted by point multiplicity)
+    # cell centroids (weighted by point multiplicity), coordinate-major
+    # (3, M): a (…, 3) layout pads the 3-wide lane dim 42.7x on TPU — at
+    # K*M gather width that alone was 15.5GB of padding.
     w = jnp.where(valid, weights, 0.0)
-    cw = jnp.zeros((m,), coords.dtype).at[cell_of_point].add(w)
-    cxyz = (
-        jnp.zeros((m, 3), coords.dtype)
-        .at[cell_of_point]
-        .add(coords * w[:, None])
-    ) / jnp.maximum(cw, 1e-8)[:, None]
+    cw = jnp.maximum(jnp.zeros((m,), coords.dtype).at[cell_of_point].add(w), 1e-8)
+    cxyz_t = jnp.stack(
+        [
+            jnp.zeros((m,), coords.dtype).at[cell_of_point].add(coords[:, a] * w)
+            for a in range(3)
+        ]
+    ) / cw[None, :]                                     # (3, M)
 
     # --- neighbor-cell table via one batched lexicographic binary search ---
     offs = jnp.asarray(
@@ -177,7 +180,13 @@ def grid_cluster(
     ncell_c = jnp.minimum(ncell, m - 1)
     ok = in_bounds & hit & cell_valid[None, :] & cell_valid[ncell_c]
     if use_centroid_gate:
-        d2 = jnp.sum((cxyz[None, :, :] - cxyz[ncell_c]) ** 2, axis=-1)
+        # strictly 1-D gathers per coordinate: any (…, 3)-sliced gather
+        # materializes a 42.7x lane-padded buffer at K*M width
+        d2 = jnp.zeros(ncell_c.shape, coords.dtype)
+        for a in range(3):
+            ca = cxyz_t[a]
+            diff = ca[None, :] - ca[ncell_c]            # (K, M)
+            d2 = d2 + diff * diff
         ok = ok & (d2 <= gate2)
     nbr = jnp.where(ok, ncell, cell_slot[None, :]).T  # (M, K); miss -> self
 
