@@ -212,8 +212,17 @@ def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
     step = int(state.step)
     for epoch in range(cfg.train.epochs):
         t_epoch = time.time()
-        for batch_np in train_it:
-            batch = shard_batch(batch_np, mesh)
+        if cache_batches and device_batches:
+            batches = device_batches
+        else:
+            batches = train_it
+        for item in batches:
+            if isinstance(item, dict):
+                batch = shard_batch(item, mesh)
+                if cache_batches and epoch == 0:
+                    device_batches.append(batch)
+            else:
+                batch = item
             if profile_at and step == profile_at:
                 jax.profiler.start_trace(os.path.join(run_dir, "profile"))
             t0 = time.time()
@@ -234,13 +243,23 @@ def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
             if max_steps and step >= max_steps:
                 break
 
-        # validation
+        # validation (device-cached like the train batches)
         val_metrics: Dict[str, list] = {}
-        for batch_np in val_it:
-            batch = shard_batch(batch_np, mesh)
+        if cache_batches and val_batches:
+            val_iterable = val_batches
+        else:
+            val_iterable = val_it
+        for item in val_iterable:
+            if isinstance(item, dict):
+                batch = shard_batch(item, mesh)
+                if cache_batches and not val_batches_done:
+                    val_batches.append(batch)
+            else:
+                batch = item
             _, losses = eval_step(state, batch)
             for k, v in jax.device_get(losses).items():
                 val_metrics.setdefault(k, []).append(float(v))
+        val_batches_done = bool(val_batches)
         agg = {k: float(np.mean(v)) for k, v in val_metrics.items()}
         logger.log(step, agg, "val")
         print(f"epoch {epoch} VAL " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()))
