@@ -209,6 +209,14 @@ def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
 
     profile_at = int(cfg.get("log", {}).get("profile_step", 0) or 0) if hasattr(cfg.get("log", {}), "get") else 0
 
+    # Device-batch caching: with augmentation off, batches are identical
+    # across epochs; uploading ~80MB/batch over the tunneled TPU dominates
+    # step time, so keep them resident in HBM.
+    cache_batches = bool(cfg.tpu.get("cache_batches", False))
+    device_batches = []
+    val_batches = []
+    val_batches_done = False
+
     step = int(state.step)
     for epoch in range(cfg.train.epochs):
         t_epoch = time.time()
@@ -244,6 +252,10 @@ def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
                 break
 
         # validation (device-cached like the train batches)
+        check_every = int(cfg.train.get("check_val_every_n_epoch", 1) or 1)
+        if (epoch + 1) % check_every != 0 and not (max_steps and step >= max_steps):
+            print(f"epoch {epoch} took {time.time()-t_epoch:.1f}s (val skipped)")
+            continue
         val_metrics: Dict[str, list] = {}
         if cache_batches and val_batches:
             val_iterable = val_batches
