@@ -78,23 +78,35 @@ def main():
     dt = (time.time() - t0) / iters
     scenes_per_sec = BATCH / dt
 
-    # honest training-step timing: the per-iteration rng fold-in forces real
-    # execution (the tunneled runtime dedups identical request payloads)
+    # Honest training-step timing. The tunneled runtime re-ships request
+    # payloads per dispatch (tens of seconds) and dedups identical requests,
+    # so per-dispatch loops measure the tunnel, not the TPU. Instead scan
+    # K full train steps inside ONE dispatch: per-step device compute is the
+    # scan time over K with the one-off payload upload amortized away.
     from d3net_tpu.train.trainer import (
-        create_train_state, jit_train_step, make_optimizer,
+        create_train_state, detector_train_step, make_optimizer,
     )
 
     state = create_train_state(model, batch, jax.random.key(0),
                                make_optimizer(lr=1e-3))
-    step = jit_train_step(model)
-    state, m = step(state, batch, jax.random.key(1))
-    jax.block_until_ready(m["total_loss"])  # compile
+    K = 64
+
+    @jax.jit
+    def train_scan(state, batch, rng):
+        def body(st, i):
+            st, m = detector_train_step(model, st, batch,
+                                        jax.random.fold_in(rng, i))
+            return st, m["total_loss"]
+        return jax.lax.scan(body, state, jnp.arange(K))
+
+    st, losses = train_scan(state, batch, jax.random.key(1))
+    jax.block_until_ready(losses)  # compile + upload
     t0 = time.time()
-    for i in range(5):
-        state, m = step(state, batch, jax.random.key(2 + i))
-    jax.block_until_ready(m["total_loss"])
-    train_dt = (time.time() - t0) / 5
+    st, losses = train_scan(st, batch, jax.random.key(2))
+    jax.block_until_ready(losses)
+    train_dt = (time.time() - t0) / K
     train_scenes_per_sec = BATCH / train_dt
+    loss_drop = float(losses[0] - losses[-1])
 
     print(
         json.dumps(
@@ -108,6 +120,7 @@ def main():
                     "fwd_step_ms": round(dt * 1e3, 2),
                     "train_step_ms": round(train_dt * 1e3, 2),
                     "train_scenes_per_sec": round(train_scenes_per_sec, 3),
+                    "train_loss_drop_64steps": round(loss_drop, 4),
                     "host_pipeline_s_per_batch": round(host_s, 2),
                     "backend": jax.default_backend(),
                 },

@@ -281,3 +281,95 @@ def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
         if max_steps and step >= max_steps:
             break
     return state
+
+
+def run_detector_training_scan(cfg: Config, run_dir: str,
+                               max_steps: Optional[int] = None):
+    """Scan-based detector training: many optimizer steps per dispatch.
+
+    All (non-augmented) batches are stacked on device once and a
+    ``lax.scan`` runs ``tpu.steps_per_dispatch`` train steps inside a single
+    XLA execution, cycling through the stacked batches. On the tunneled TPU
+    (payload re-shipped per dispatch) this amortizes the I/O across the
+    whole scan; on real hardware it simply minimizes dispatch overhead.
+    """
+    import functools
+
+    from d3net_tpu.train.trainer import detector_train_step
+
+    os.makedirs(run_dir, exist_ok=True)
+    save_cfg(cfg, os.path.join(run_dir, "config.yaml"))
+    logger = MetricLogger(run_dir)
+    ckpt = Checkpointer(run_dir, cfg.general.monitor.replace("val_loss/", ""),
+                        cfg.general.monitor_mode)
+
+    spec = spec_from_cfg(cfg)
+    model = detector_from_cfg(cfg)
+    train_it, val_it = make_dataloaders(cfg, spec)
+    train_it.augment = False  # batches must be reusable across epochs
+    mesh = make_mesh()
+
+    batches = list(train_it)
+    nb = len(batches)
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+    stacked = shard_batch(stacked, mesh)  # leading axis = batch index
+
+    tx = make_optimizer(
+        lr=cfg.train.optim.lr, optim=cfg.train.optim.classname,
+        weight_decay=cfg.train.optim.weight_decay,
+        step_epoch=cfg.train.step_epoch, multiplier=cfg.train.multiplier,
+        steps_per_epoch=nb,
+    )
+    first = jax.tree.map(lambda x: x[0], stacked)
+    state = create_train_state(model, first, jax.random.key(cfg.general.manual_seed), tx)
+    state = replicate(state, mesh)
+    restored = ckpt.restore_last(state)
+    if restored is not None:
+        state = restored
+        print(f"resumed from step {int(state.step)}")
+
+    lw = tuple(cfg.train.loss_weight[:4])
+    spd = int(cfg.tpu.get("steps_per_dispatch", 64))
+
+    @jax.jit
+    def dispatch(state, stacked, rng):
+        def body(st, i):
+            batch = jax.tree.map(lambda x: x[i % nb], stacked)
+            st, m = detector_train_step(
+                model, st, batch, jax.random.fold_in(rng, i),
+                loss_weight=lw,
+            )
+            keep = {k: m[k] for k in
+                    ("total_loss", "semantic_loss", "offset_norm_loss",
+                     "offset_dir_loss", "score_loss", "gt_iou_mean")}
+            return st, keep
+        return jax.lax.scan(body, state, jnp.arange(spd))
+
+    eval_step = jit_eval_step(model)
+    rng = jax.random.key(cfg.general.manual_seed + 1)
+    step = int(state.step)
+    total = max_steps or (cfg.train.epochs * nb)
+    while step < total:
+        t0 = time.time()
+        state, metrics = dispatch(state, stacked, jax.random.fold_in(rng, step))
+        metrics = jax.device_get(metrics)
+        dt = time.time() - t0
+        step += spd
+        last = {k: float(v[-1]) for k, v in metrics.items()}
+        last["steps_per_sec"] = spd / dt
+        logger.log(step, last, "train")
+        print(f"step {step} " + " ".join(f"{k}={v:.4f}" for k, v in last.items()))
+
+        # quick val + checkpoint every dispatch
+        val_metrics: Dict[str, list] = {}
+        for batch_np in val_it:
+            vb = shard_batch(batch_np, mesh)
+            _, losses = eval_step(state, vb)
+            for k, v in jax.device_get(losses).items():
+                val_metrics.setdefault(k, []).append(float(v))
+            break  # one val batch per dispatch keeps tunnel I/O bounded
+        agg = {k: float(np.mean(v)) for k, v in val_metrics.items()}
+        logger.log(step, agg, "val")
+        print(f"step {step} VAL " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()))
+        ckpt.save(step, state, agg)
+    return state

@@ -42,9 +42,14 @@ def main():
         int(not cfg.model.no_grounding),
     )
     if task_mode == (1, 0, 0):
-        from d3net_tpu.train.loop import run_detector_training
+        if cfg.tpu.get("steps_per_dispatch"):
+            from d3net_tpu.train.loop import run_detector_training_scan
 
-        run_detector_training(cfg, run_dir, max_steps=args.max_steps)
+            run_detector_training_scan(cfg, run_dir, max_steps=args.max_steps)
+        else:
+            from d3net_tpu.train.loop import run_detector_training
+
+            run_detector_training(cfg, run_dir, max_steps=args.max_steps)
     else:
         from d3net_tpu.train.pipeline_loop import run_pipeline_training
 
