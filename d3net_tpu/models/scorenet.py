@@ -2,84 +2,127 @@
 
 The reference re-voxelizes every proposal into a sparse grid of fullscale 14
 and runs a small sparse U-Net over it (``model/pointgroup.py:125-178`` +
-``score_net``).  At 14^3 = 2744 cells a cluster grid is tiny — on TPU the
-right design is a **dense** 3D U-Net over (P, 14, 14, 14, C) batched grids:
-every conv is a large MXU-tiled dense conv, no tables, no gathers.
+``score_net``).  At 14^3 = 2744 cells a cluster grid is tiny — so the grid
+is handled **dense**, and because the lattice is static, its 3^3 / stride-2
+neighbor tables are precomputed numpy constants and convolution reuses the
+same gather-matmul op (and custom transpose-table VJP) as the backbone:
+one conv implementation everywhere, no XLA conv3d on the hot path (whose
+backward kernel-faults under lax.scan on the axon TPU runtime).
+
 Submanifold semantics are preserved by masking activations to the occupancy
-pattern after every block (so features never dilate into empty cells,
-matching sparse-conv behavior).
+pattern after every conv (features never dilate into empty cells).
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+import functools
+from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from d3net_tpu.models.blocks import MaskedBatchNorm
+from d3net_tpu.ops.sparse_conv import sparse_conv_t
 
 
-def _masked_bn(x, occ, train):
-    """BN over occupied cells of (P, G, G, G, C)."""
-    p = x.shape[0]
-    c = x.shape[-1]
-    flat = x.reshape(p, -1, c)
-    m = occ.reshape(p, -1)
-    out = MaskedBatchNorm()(flat, m, train)
-    return out.reshape(x.shape)
+@functools.lru_cache(maxsize=None)
+def grid_tables(g: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(subm27 (G3,27), down ((G/2)^3,8), up (G3,8)) for a g^3 lattice.
+
+    INVALID entries point at index G3 (resp. coarse G3) — the zero pad row,
+    matching the kernel-map contract in ops.voxelize.
+    """
+    from d3net_tpu.ops.voxelize import (
+        downsample_level, submanifold_table, upsample_table,
+    )
+
+    r = np.arange(g)
+    coords = np.stack(np.meshgrid(r, r, r, indexing="ij"), -1).reshape(-1, 3)
+    coords = coords.astype(np.int32)
+    nbr = submanifold_table(coords)
+    coarse, down = downsample_level(coords)
+    up = upsample_table(coords, coarse)
+    return nbr, down, up
 
 
-class DenseResBlock(nn.Module):
+_conv_grid = jax.vmap(sparse_conv_t, in_axes=(0, None, None, None, None))
+
+
+class GridConv(nn.Module):
+    """Shared-table conv over (P, G3, C) dense-lattice features."""
+
+    out_channels: int
+    kernel_volume: int = 27
+
+    @nn.compact
+    def __call__(self, x, nbr, nbr_t, flip_t: bool = True):
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
+            (self.kernel_volume, cin, self.out_channels),
+        )
+        return _conv_grid(x, nbr, nbr_t, w, flip_t)
+
+
+class GridResBlock(nn.Module):
     out_channels: int
 
     @nn.compact
-    def __call__(self, x, occ, train: bool):
+    def __call__(self, x, nbr, occ, train: bool):
         identity = x
-        h = _masked_bn(x, occ, train)
+        h = MaskedBatchNorm()(x, occ, train)
         h = nn.relu(h)
-        h = nn.Conv(self.out_channels, (3, 3, 3), use_bias=False)(h)
-        h = h * occ[..., None]
-        h = _masked_bn(h, occ, train)
+        h = GridConv(self.out_channels)(h, nbr, nbr) * occ[..., None]
+        h = MaskedBatchNorm()(h, occ, train)
         h = nn.relu(h)
-        h = nn.Conv(self.out_channels, (3, 3, 3), use_bias=False)(h)
-        h = h * occ[..., None]
+        h = GridConv(self.out_channels)(h, nbr, nbr) * occ[..., None]
         if identity.shape[-1] != self.out_channels:
-            identity = nn.Conv(self.out_channels, (1, 1, 1), use_bias=False)(identity)
-            identity = identity * occ[..., None]
+            identity = GridConv(self.out_channels, kernel_volume=1)(
+                identity, nbr[..., 13:14], nbr[..., 13:14]
+            ) * occ[..., None]
         return h + identity
 
 
-class DenseUNet(nn.Module):
-    """Two-level dense U-Net mirroring the reference ``cluster_blocks=[1,2]``."""
+class GridUNet(nn.Module):
+    """Two-level U-Net over the static lattice (ref ``cluster_blocks=[1,2]``)."""
 
     planes: Sequence[int]
+    grid: int
     block_reps: int = 2
 
     @nn.compact
     def __call__(self, x, occ, train: bool):
+        nbr_np, down_np, up_np = grid_tables(self.grid)
+        nbr = jnp.asarray(nbr_np)
         for _ in range(self.block_reps):
-            x = DenseResBlock(self.planes[0])(x, occ, train)
-        if len(self.planes) > 1:
+            x = GridResBlock(self.planes[0])(x, nbr, occ, train)
+        if len(self.planes) > 1 and self.grid >= 2:
+            down = jnp.asarray(down_np)
+            up = jnp.asarray(up_np)
+            g2 = self.grid // 2
+            # coarse occupancy: any of the 8 children occupied
+            occ_pad = jnp.concatenate(
+                [occ, jnp.zeros_like(occ[:, :1])], axis=1
+            )
+            occ2 = occ_pad[:, down_np.reshape(-1)].reshape(
+                occ.shape[0], g2 * g2 * g2, 8
+            ).max(-1)
             identity = x
-            # occupancy at the coarse level: any fine cell occupied
-            occ2 = nn.max_pool(
-                occ[..., None], (2, 2, 2), strides=(2, 2, 2)
-            )[..., 0]
-            h = _masked_bn(x, occ, train)
+            h = MaskedBatchNorm()(x, occ, train)
             h = nn.relu(h)
-            h = nn.Conv(self.planes[1], (2, 2, 2), strides=(2, 2, 2), use_bias=False)(h)
+            h = GridConv(self.planes[1], kernel_volume=8)(h, down, up, False)
             h = h * occ2[..., None]
-            h = DenseUNet(self.planes[1:], self.block_reps)(h, occ2, train)
-            h = _masked_bn(h, occ2, train)
+            h = GridUNet(self.planes[1:], g2, self.block_reps)(h, occ2, train)
+            h = MaskedBatchNorm()(h, occ2, train)
             h = nn.relu(h)
-            h = nn.ConvTranspose(
-                self.planes[0], (2, 2, 2), strides=(2, 2, 2), use_bias=False
-            )(h)
+            h = GridConv(self.planes[0], kernel_volume=8)(h, up, down, False)
             h = h * occ[..., None]
             x = jnp.concatenate([identity, h], axis=-1)
             for _ in range(self.block_reps):
-                x = DenseResBlock(self.planes[0])(x, occ, train)
+                x = GridResBlock(self.planes[0])(x, nbr, occ, train)
         return x
 
 
@@ -101,13 +144,15 @@ class ScoreNet(nn.Module):
 
         Returns (scores (P,), pooled_feats (P, planes[0])).
         """
-        h = DenseUNet(self.planes, self.block_reps)(grids, occ, train)
-        h = _masked_bn(h, occ, train)
+        p, g = grids.shape[0], grids.shape[1]
+        c = grids.shape[-1]
+        flat = grids.reshape(p, g * g * g, c)
+        occ_flat = occ.reshape(p, g * g * g)
+        h = GridUNet(self.planes, g, self.block_reps)(flat, occ_flat, train)
+        h = MaskedBatchNorm()(h, occ_flat, train)
         h = nn.relu(h)
-        p, c = h.shape[0], h.shape[-1]
-        flat = h.reshape(p, -1, c)
-        m = occ.reshape(p, -1, 1)
-        pooled = jnp.max(jnp.where(m > 0, flat, -jnp.inf), axis=1)
+        m = occ_flat[..., None]
+        pooled = jnp.max(jnp.where(m > 0, h, -jnp.inf), axis=1)
         pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
         scores = nn.Dense(1)(pooled)[:, 0]
         return scores, pooled
