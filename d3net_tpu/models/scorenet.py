@@ -47,41 +47,101 @@ def grid_tables(g: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return nbr, down, up
 
 
-_conv_grid = jax.vmap(sparse_conv_t, in_axes=(0, None, None, None, None))
+def _flat_tables(base_in: np.ndarray, rows_out: int, p: int, g3_in: int):
+    """Tile a per-grid table to all P grids as one flat sparse problem.
+
+    Input rows per grid are padded with one zero row (stride g3_in+1) so
+    per-grid INVALID entries land on that grid's own pad row.
+    """
+    k = base_in.shape[1]
+    stride = g3_in + 1
+    invalid = base_in >= g3_in
+    out = np.empty((p, rows_out, k), np.int32)
+    for i in range(p):
+        t = base_in + i * stride
+        t[invalid] = i * stride + g3_in
+        out[i] = t
+    return out.reshape(p * rows_out, k)
+
+
+def _flat_tables_t(base_t: np.ndarray, p: int, cols_out: int):
+    """Grad-space transpose table: input rows include each grid's pad row
+    (matching the padded feature layout), but entries index the *gradient*
+    array, which has p*cols_out rows and NO pad rows — INVALID points at the
+    op's own sentinel (= p*cols_out)."""
+    rows_in, k = base_t.shape
+    invalid = base_t >= cols_out
+    sentinel = p * cols_out
+    out = np.empty((p, rows_in + 1, k), np.int32)
+    for i in range(p):
+        t = base_t + i * cols_out
+        t[invalid] = sentinel
+        out[i, :rows_in] = t
+        out[i, rows_in] = sentinel
+    return out.reshape(p * (rows_in + 1), k)
+
+
+@functools.lru_cache(maxsize=None)
+def flat_grid_tables(g: int, p: int):
+    """Flattened (all-grids) subm/down/up tables + grad-space transposes."""
+    nbr, down, up = grid_tables(g)
+    g3 = g * g * g
+    c3 = ((g + 1) // 2) ** 3  # coarse lattice is ceil(g/2)^3
+    # cache numpy (jnp constants created inside a trace would leak tracers)
+    return {
+        "nbr": _flat_tables(nbr.copy(), g3, p, g3),
+        "nbr_t": _flat_tables_t(nbr.copy(), p, g3),
+        "down": _flat_tables(down.copy(), c3, p, g3),
+        "down_t": _flat_tables_t(up.copy(), p, c3),   # transpose of down = up
+        "up": _flat_tables(up.copy(), g3, p, c3),
+        "up_t": _flat_tables_t(down.copy(), p, g3),   # transpose of up = down
+    }
+
+
+def _pad_grids(x):
+    """(P, G3, C) -> (P*(G3+1), C) with one zero row per grid."""
+    p, g3, c = x.shape
+    return jnp.concatenate([x, jnp.zeros((p, 1, c), x.dtype)], axis=1).reshape(
+        p * (g3 + 1), c
+    )
 
 
 class GridConv(nn.Module):
-    """Shared-table conv over (P, G3, C) dense-lattice features."""
+    """Shared-table conv over (P, G3_in, C) -> (P, rows_out, C') features,
+    flattened into one sparse-conv problem so row-chunking bounds HBM."""
 
     out_channels: int
     kernel_volume: int = 27
 
     @nn.compact
-    def __call__(self, x, nbr, nbr_t, flip_t: bool = True):
-        cin = x.shape[-1]
+    def __call__(self, x, nbr_flat, nbr_t_flat, flip_t: bool = True):
+        p, g3_in, cin = x.shape
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
             (self.kernel_volume, cin, self.out_channels),
         )
-        return _conv_grid(x, nbr, nbr_t, w, flip_t)
+        flat = _pad_grids(x)
+        out = sparse_conv_t(flat, nbr_flat, nbr_t_flat, w, flip_t)
+        rows_out = nbr_flat.shape[0] // p
+        return out.reshape(p, rows_out, self.out_channels)
 
 
 class GridResBlock(nn.Module):
     out_channels: int
 
     @nn.compact
-    def __call__(self, x, nbr, occ, train: bool):
+    def __call__(self, x, nbr, nbr_t, occ, train: bool):
         identity = x
         h = MaskedBatchNorm()(x, occ, train)
         h = nn.relu(h)
-        h = GridConv(self.out_channels)(h, nbr, nbr) * occ[..., None]
+        h = GridConv(self.out_channels)(h, nbr, nbr_t) * occ[..., None]
         h = MaskedBatchNorm()(h, occ, train)
         h = nn.relu(h)
-        h = GridConv(self.out_channels)(h, nbr, nbr) * occ[..., None]
+        h = GridConv(self.out_channels)(h, nbr, nbr_t) * occ[..., None]
         if identity.shape[-1] != self.out_channels:
             identity = GridConv(self.out_channels, kernel_volume=1)(
-                identity, nbr[..., 13:14], nbr[..., 13:14]
+                identity, nbr[:, 13:14], nbr_t[:, 13:14]
             ) * occ[..., None]
         return h + identity
 
@@ -95,14 +155,19 @@ class GridUNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, occ, train: bool):
-        nbr_np, down_np, up_np = grid_tables(self.grid)
-        nbr = jnp.asarray(nbr_np)
+        p = x.shape[0]
+        tables = flat_grid_tables(self.grid, p)
+        nbr = jnp.asarray(tables["nbr"])
+        nbr_t = jnp.asarray(tables["nbr_t"])
         for _ in range(self.block_reps):
-            x = GridResBlock(self.planes[0])(x, nbr, occ, train)
+            x = GridResBlock(self.planes[0])(x, nbr, nbr_t, occ, train)
         if len(self.planes) > 1 and self.grid >= 2:
-            down = jnp.asarray(down_np)
-            up = jnp.asarray(up_np)
-            g2 = self.grid // 2
+            _, down_np, _ = grid_tables(self.grid)
+            down = jnp.asarray(tables["down"])
+            down_t = jnp.asarray(tables["down_t"])
+            up = jnp.asarray(tables["up"])
+            up_t = jnp.asarray(tables["up_t"])
+            g2 = (self.grid + 1) // 2
             # coarse occupancy: any of the 8 children occupied
             occ_pad = jnp.concatenate(
                 [occ, jnp.zeros_like(occ[:, :1])], axis=1
@@ -113,16 +178,16 @@ class GridUNet(nn.Module):
             identity = x
             h = MaskedBatchNorm()(x, occ, train)
             h = nn.relu(h)
-            h = GridConv(self.planes[1], kernel_volume=8)(h, down, up, False)
+            h = GridConv(self.planes[1], kernel_volume=8)(h, down, down_t, False)
             h = h * occ2[..., None]
             h = GridUNet(self.planes[1:], g2, self.block_reps)(h, occ2, train)
             h = MaskedBatchNorm()(h, occ2, train)
             h = nn.relu(h)
-            h = GridConv(self.planes[0], kernel_volume=8)(h, up, down, False)
+            h = GridConv(self.planes[0], kernel_volume=8)(h, up, up_t, False)
             h = h * occ[..., None]
             x = jnp.concatenate([identity, h], axis=-1)
             for _ in range(self.block_reps):
-                x = GridResBlock(self.planes[0])(x, nbr, occ, train)
+                x = GridResBlock(self.planes[0])(x, nbr, nbr_t, occ, train)
         return x
 
 

@@ -55,11 +55,15 @@ def sparse_conv(feats, nbr, weight, precision=None):
     m_out = nbr.shape[0]
     padded = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
     wflat = weight.reshape(k * cin, cout).astype(feats.dtype)
-    if m_out > _CHUNK and m_out % _CHUNK == 0:
+    if m_out > _CHUNK:
+        pad_rows = (-m_out) % _CHUNK
+        nbr_p = jnp.concatenate(
+            [nbr, jnp.full((pad_rows, k), feats.shape[0], nbr.dtype)]
+        ) if pad_rows else nbr
         out = jax.lax.map(
             lambda nb: _conv_block(padded, nb, wflat, precision),
-            nbr.reshape(-1, _CHUNK, k),
-        ).reshape(m_out, cout)
+            nbr_p.reshape(-1, _CHUNK, k),
+        ).reshape(m_out + pad_rows, cout)[:m_out]
     else:
         out = _conv_block(padded, nbr, wflat, precision)
     return out.astype(feats.dtype)
@@ -105,10 +109,18 @@ def _sct_bwd(flip_t, res, g):
             "mkc,md->kcd", gathered, g_block, preferred_element_type=jnp.float32
         )
 
-    if m_out > _CHUNK and m_out % _CHUNK == 0:
+    if m_out > _CHUNK:
+        pad_rows = (-m_out) % _CHUNK
+        if pad_rows:
+            nbr_c = jnp.concatenate(
+                [nbr, jnp.full((pad_rows, k), feats.shape[0], nbr.dtype)]
+            )
+            g_c = jnp.concatenate([g, jnp.zeros((pad_rows, cout), g.dtype)])
+        else:
+            nbr_c, g_c = nbr, g
         dw = jax.lax.map(
             lambda args: dw_block(*args),
-            (nbr.reshape(-1, _CHUNK, k), g.reshape(-1, _CHUNK, cout)),
+            (nbr_c.reshape(-1, _CHUNK, k), g_c.reshape(-1, _CHUNK, cout)),
         ).sum(0)
     else:
         dw = dw_block(nbr, g)

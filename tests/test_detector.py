@@ -157,3 +157,37 @@ def test_cross_entropy_ignore():
     mask = jnp.ones((1, 3), bool)
     ce = float(cross_entropy_ignore(logits, labels, -1, mask))
     assert ce < 1e-3  # both valid labels perfectly predicted, ignore skipped
+
+
+def test_grid_conv_gradients_match_autodiff():
+    """Flat grid-conv transpose-table backward == naive autodiff."""
+    import jax
+    from d3net_tpu.models.scorenet import GridConv, flat_grid_tables
+    from d3net_tpu.ops.sparse_conv import sparse_conv
+
+    g, p, cin, cout = 4, 3, 5, 6
+    tables = flat_grid_tables(g, p)
+    nbr = jnp.asarray(tables["nbr"])
+    nbr_t = jnp.asarray(tables["nbr_t"])
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(p, g**3, cin)).astype(np.float32))
+    mod = GridConv(cout)
+    vs = mod.init(jax.random.key(0), x, nbr, nbr_t)
+    w = vs["params"]["kernel"]
+    cot = jnp.asarray(rng.normal(size=(p, g**3, cout)).astype(np.float32))
+
+    def loss_tables(x, w):
+        return (mod.apply({"params": {"kernel": w}}, x, nbr, nbr_t) * cot).sum()
+
+    def loss_naive(x, w):
+        # unflattened per-grid naive conv
+        from d3net_tpu.models.scorenet import grid_tables
+
+        base, _, _ = grid_tables(g)
+        outs = [sparse_conv(x[i], jnp.asarray(base), w) for i in range(p)]
+        return (jnp.stack(outs) * cot).sum()
+
+    gx_t, gw_t = jax.grad(loss_tables, argnums=(0, 1))(x, w)
+    gx_n, gw_n = jax.grad(loss_naive, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx_t), np.asarray(gx_n), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_t), np.asarray(gw_n), atol=1e-4)
