@@ -48,46 +48,44 @@ def grid_tables(g: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def _flat_tables(base_in: np.ndarray, rows_out: int, p: int, g3_in: int):
-    """Tile a per-grid table to all P grids as one flat sparse problem.
+    """Tile a per-grid table to all P grids as one flat sparse problem,
+    built with device ops from the small base constant (baking the full
+    (P*rows, K) table as an HLO constant blows up the compile payload).
 
     Input rows per grid are padded with one zero row (stride g3_in+1) so
     per-grid INVALID entries land on that grid's own pad row.
     """
-    k = base_in.shape[1]
     stride = g3_in + 1
-    invalid = base_in >= g3_in
-    out = np.empty((p, rows_out, k), np.int32)
-    for i in range(p):
-        t = base_in + i * stride
-        t[invalid] = i * stride + g3_in
-        out[i] = t
-    return out.reshape(p * rows_out, k)
+    base = jnp.asarray(base_in.astype(np.int32))
+    invalid = jnp.asarray(base_in >= g3_in)
+    grid_ids = jnp.arange(p, dtype=jnp.int32)[:, None, None]
+    t = base[None] + grid_ids * stride
+    t = jnp.where(invalid[None], grid_ids * stride + g3_in, t)
+    return t.reshape(p * rows_out, base.shape[1])
 
 
 def _flat_tables_t(base_t: np.ndarray, p: int, cols_out: int):
-    """Grad-space transpose table: input rows include each grid's pad row
-    (matching the padded feature layout), but entries index the *gradient*
-    array, which has p*cols_out rows and NO pad rows — INVALID points at the
-    op's own sentinel (= p*cols_out)."""
+    """Grad-space transpose table (device-built): input rows include each
+    grid's pad row (matching the padded feature layout), but entries index
+    the *gradient* array, which has p*cols_out rows and NO pad rows —
+    INVALID points at the op's own sentinel (= p*cols_out)."""
     rows_in, k = base_t.shape
-    invalid = base_t >= cols_out
     sentinel = p * cols_out
-    out = np.empty((p, rows_in + 1, k), np.int32)
-    for i in range(p):
-        t = base_t + i * cols_out
-        t[invalid] = sentinel
-        out[i, :rows_in] = t
-        out[i, rows_in] = sentinel
-    return out.reshape(p * (rows_in + 1), k)
+    base = jnp.asarray(base_t.astype(np.int32))
+    invalid = jnp.asarray(base_t >= cols_out)
+    grid_ids = jnp.arange(p, dtype=jnp.int32)[:, None, None]
+    t = base[None] + grid_ids * cols_out
+    t = jnp.where(invalid[None], sentinel, t)
+    pad_row = jnp.full((p, 1, k), sentinel, jnp.int32)
+    return jnp.concatenate([t, pad_row], axis=1).reshape(p * (rows_in + 1), k)
 
 
-@functools.lru_cache(maxsize=None)
 def flat_grid_tables(g: int, p: int):
-    """Flattened (all-grids) subm/down/up tables + grad-space transposes."""
+    """Flattened (all-grids) subm/down/up tables + grad-space transposes.
+    Built with device ops at trace time — do NOT cache across traces."""
     nbr, down, up = grid_tables(g)
     g3 = g * g * g
     c3 = ((g + 1) // 2) ** 3  # coarse lattice is ceil(g/2)^3
-    # cache numpy (jnp constants created inside a trace would leak tracers)
     return {
         "nbr": _flat_tables(nbr.copy(), g3, p, g3),
         "nbr_t": _flat_tables_t(nbr.copy(), p, g3),
@@ -157,16 +155,14 @@ class GridUNet(nn.Module):
     def __call__(self, x, occ, train: bool):
         p = x.shape[0]
         tables = flat_grid_tables(self.grid, p)
-        nbr = jnp.asarray(tables["nbr"])
-        nbr_t = jnp.asarray(tables["nbr_t"])
+        nbr = tables["nbr"]
+        nbr_t = tables["nbr_t"]
         for _ in range(self.block_reps):
             x = GridResBlock(self.planes[0])(x, nbr, nbr_t, occ, train)
         if len(self.planes) > 1 and self.grid >= 2:
             _, down_np, _ = grid_tables(self.grid)
-            down = jnp.asarray(tables["down"])
-            down_t = jnp.asarray(tables["down_t"])
-            up = jnp.asarray(tables["up"])
-            up_t = jnp.asarray(tables["up_t"])
+            down, down_t = tables["down"], tables["down_t"]
+            up, up_t = tables["up"], tables["up_t"]
             g2 = (self.grid + 1) // 2
             # coarse occupancy: any of the 8 children occupied
             occ_pad = jnp.concatenate(
