@@ -89,38 +89,62 @@ def main():
         create_train_state, detector_train_step, jit_train_step, make_optimizer,
     )
 
-    state = create_train_state(model, batch, jax.random.key(0),
-                               make_optimizer(lr=1e-3))
+    train_dt = float("nan")
+    train_scenes_per_sec = float("nan")
     loss_drop = 0.0
-    if _os.environ.get("D3NET_BENCH_TRAIN_SCAN") == "1":
+    # train timing uses the 5-level/65k-cap config: the full 7-level
+    # backward at 131k caps does not fit 16GB HBM yet (future work)
+    train_model = PointGroup(blocks=(1, 2, 3, 4, 5))
+    tb_spec = BatchSpec(
+        max_points=65536, voxel_caps=[65536, 32768, 16384, 8192, 4096],
+        max_instances=32, use_multiview=True, use_normal=True,
+    )
+    scenes = [
+        make_scene(seed=i, num_instances=10, density=2500.0,
+                   floor_points=15000, room=6.0, with_multiview=True)
+        for i in range(BATCH)
+    ]
+    train_batch = jax.tree.map(jnp.asarray, build_batch(scenes, tb_spec))
+    try:
+        state = create_train_state(train_model, train_batch, jax.random.key(0),
+                                   make_optimizer(lr=1e-3))
+        _ok = True
+    except Exception as e:  # noqa: BLE001 — keep the JSON line alive
+        print(f"# train-state init failed: {type(e).__name__}", flush=True)
+        _ok = False
+    if _ok and _os.environ.get("D3NET_BENCH_TRAIN_SCAN") == "1":
         K = 64
 
         @jax.jit
         def train_scan(state, batch, rng):
             def body(st, i):
-                st, m = detector_train_step(model, st, batch,
+                st, m = detector_train_step(train_model, st, batch,
                                             jax.random.fold_in(rng, i))
                 return st, m["total_loss"]
             return jax.lax.scan(body, state, jnp.arange(K))
 
-        st, losses = train_scan(state, batch, jax.random.key(1))
+        st, losses = train_scan(state, train_batch, jax.random.key(1))
         jax.block_until_ready(losses)
         t0 = time.time()
-        st, losses = train_scan(st, batch, jax.random.key(2))
+        st, losses = train_scan(st, train_batch, jax.random.key(2))
         jax.block_until_ready(losses)
         train_dt = (time.time() - t0) / K
         loss_drop = float(losses[0] - losses[-1])
-    else:
-        step = jit_train_step(model)
-        state, m = step(state, batch, jax.random.key(1))
-        jax.block_until_ready(m["total_loss"])  # compile
-        l0 = float(m["total_loss"])
-        t0 = time.time()
-        state, m = step(state, batch, jax.random.key(2))
-        jax.block_until_ready(m["total_loss"])
-        train_dt = time.time() - t0
-        loss_drop = l0 - float(m["total_loss"])
-    train_scenes_per_sec = BATCH / train_dt
+        train_scenes_per_sec = BATCH / train_dt
+    elif _ok:
+        try:
+            step = jit_train_step(train_model)
+            state, m = step(state, train_batch, jax.random.key(1))
+            jax.block_until_ready(m["total_loss"])  # compile
+            l0 = float(m["total_loss"])
+            t0 = time.time()
+            state, m = step(state, train_batch, jax.random.key(2))
+            jax.block_until_ready(m["total_loss"])
+            train_dt = time.time() - t0
+            loss_drop = l0 - float(m["total_loss"])
+            train_scenes_per_sec = BATCH / train_dt
+        except Exception as e:  # noqa: BLE001
+            print(f"# train-step timing failed: {type(e).__name__}", flush=True)
 
     print(
         json.dumps(
@@ -132,9 +156,11 @@ def main():
                 "detail": {
                     "batch": BATCH,
                     "fwd_step_ms": round(dt * 1e3, 2),
-                    "train_step_ms": round(train_dt * 1e3, 2),
-                    "train_scenes_per_sec": round(train_scenes_per_sec, 3),
-                    "train_loss_drop_64steps": round(loss_drop, 4),
+                    "train_step_ms": (round(train_dt * 1e3, 2)
+                                      if train_dt == train_dt else None),
+                    "train_scenes_per_sec": (round(train_scenes_per_sec, 3)
+                                             if train_scenes_per_sec == train_scenes_per_sec else None),
+                    "train_loss_drop": round(loss_drop, 4),
                     "host_pipeline_s_per_batch": round(host_s, 2),
                     "backend": jax.default_backend(),
                 },
