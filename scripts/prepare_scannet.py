@@ -118,12 +118,30 @@ def process_scan(scans_dir: str, scan: str, out_dir: str, align: bool = True):
     )
 
 
+def write_instance_gt(npz_path: str, out_dir: str):
+    """ScanNet-benchmark GT txt (parity: prepare_scannet_inst_gt.py):
+    per point, sem_nyu_id * 1000 + instance_id + 1 (0 = unannotated)."""
+    NYU = np.asarray([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28,
+                      33, 34, 36, 39])
+    d = np.load(npz_path)
+    sem = d["sem_labels"]
+    inst = d["instance_ids"]
+    nyu = np.where(sem >= 0, NYU[np.clip(sem, 0, 19)], 0)
+    gt = np.where(inst >= 0, nyu * 1000 + inst + 1, nyu * 1000)
+    gt = np.where(sem >= 0, gt, 0)
+    os.makedirs(out_dir, exist_ok=True)
+    scan = os.path.splitext(os.path.basename(npz_path))[0]
+    np.savetxt(os.path.join(out_dir, f"{scan}.txt"), gt, fmt="%d")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--scans", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--split", default=None, help="txt with one scan id per line")
     p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--write-inst-gt", default=None,
+                   help="also write benchmark GT txts to this dir")
     args = p.parse_args()
 
     if args.split:
@@ -137,6 +155,10 @@ def main():
         futs = [ex.submit(process_scan, args.scans, s, args.out) for s in scans]
         for s, f in zip(scans, futs):
             f.result()
+            if args.write_inst_gt:
+                write_instance_gt(
+                    os.path.join(args.out, f"{s}.npz"), args.write_inst_gt
+                )
             print(s)
 
 

@@ -118,3 +118,19 @@ def test_process_scan_end_to_end(tmp_path):
     s = scenes[0]
     assert s.xyz.shape == (n, 3)
     assert s.instance_bboxes.shape == (1, 8)
+
+
+def test_write_instance_gt(tmp_path):
+    from prepare_scannet import write_instance_gt
+
+    np.savez(
+        tmp_path / "scene0001_00.npz",
+        sem_labels=np.array([4, 4, 1, -1]),   # chair, chair, floor, unann
+        instance_ids=np.array([0, 0, -1, -1]),
+        xyz=np.zeros((4, 3)), rgb=np.zeros((4, 3)), normal=np.zeros((4, 3)),
+        instance_bboxes=np.zeros((0, 8)),
+    )
+    write_instance_gt(str(tmp_path / "scene0001_00.npz"), str(tmp_path / "gt"))
+    gt = np.loadtxt(tmp_path / "gt" / "scene0001_00.txt").astype(int)
+    # chair = nyu 5 -> 5*1000 + inst 0 + 1 = 5001; floor nyu 2 no inst = 2000
+    np.testing.assert_array_equal(gt, [5001, 5001, 2000, 0])
