@@ -89,6 +89,13 @@ def main():
         create_train_state, detector_train_step, jit_train_step, make_optimizer,
     )
 
+    # free flagship buffers before the train-timing compile: fwd batch +
+    # outputs + params otherwise co-reside with the train state in HBM
+    import gc
+
+    del out, variables, batch
+    gc.collect()
+
     train_dt = float("nan")
     train_scenes_per_sec = float("nan")
     loss_drop = 0.0
