@@ -70,12 +70,26 @@ def main():
     out = fwd(variables, batch)
     jax.block_until_ready(out["proposal_scores_all"])
 
-    iters = 10
+    # In-graph forward scan: K sequential forwards chained through a carry
+    # so neither XLA CSE nor the tunnel's request dedupe can skip work.
+    K_FWD = 64
+
+    @jax.jit
+    def fwd_scan(variables, batch, c0):
+        def body(c, _):
+            feats = batch["point_feats"] + c * 1e-12
+            o = model.apply(variables, {**batch, "point_feats": feats},
+                            train=False)
+            return c + o["proposal_scores_all"].sum() * 1e-6, ()
+        c, _ = jax.lax.scan(body, c0, None, length=K_FWD)
+        return c
+
+    c = fwd_scan(variables, batch, jnp.float32(0.0))
+    jax.block_until_ready(c)  # compile
     t0 = time.time()
-    for _ in range(iters):
-        out = fwd(variables, batch)
-    jax.block_until_ready(out["proposal_scores_all"])
-    dt = (time.time() - t0) / iters
+    c = fwd_scan(variables, batch, jnp.float32(1.0))
+    jax.block_until_ready(c)
+    dt = (time.time() - t0) / K_FWD
     scenes_per_sec = BATCH / dt
 
     # Training-step timing. NOTE on this harness: the tunneled axon runtime
@@ -151,7 +165,8 @@ def main():
             loss_drop = l0 - float(m["total_loss"])
             train_scenes_per_sec = BATCH / train_dt
         except Exception as e:  # noqa: BLE001
-            print(f"# train-step timing failed: {type(e).__name__}", flush=True)
+            msg = str(e).splitlines()[0][:200] if str(e) else type(e).__name__
+            print(f"# train-step timing failed: {msg}", flush=True)
 
     print(
         json.dumps(
