@@ -1,0 +1,115 @@
+"""Multi-device data-parallel tests over the 8-virtual-CPU-device mesh.
+
+The reference's whole distributed story is single-node DDP gradient
+all-reduce (``/root/reference/scripts/train.py:266-268``).  Parity here =
+a dp-sharded jitted train step whose results match the single-device step
+bit-close, with params replicated across the mesh.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from d3net_tpu.data.collate import BatchSpec, build_batch
+from d3net_tpu.data.synthetic import make_scene
+from d3net_tpu.models.pointgroup import PointGroup
+from d3net_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from d3net_tpu.train.trainer import (
+    create_train_state,
+    jit_train_step,
+    make_optimizer,
+)
+
+
+def _tiny_model():
+    return PointGroup(
+        m=4,
+        blocks=(1, 2),
+        cluster_blocks=(1, 2),
+        clusters_per_pass=8,
+        max_num_proposal=8,
+        cluster_npoint_thre=30,
+        test_npoint_thresh=30,
+        test_score_thresh=0.0,
+        cluster_ring=1,
+        cluster_cell_size=0.03,
+        cluster_prop_iters=4,
+    )
+
+
+def _batch(b):
+    scenes = [
+        make_scene(seed=i, num_instances=3, density=3000.0,
+                   size_range=(0.25, 0.5), floor_points=500, room=3.0)
+        for i in range(b)
+    ]
+    spec = BatchSpec(max_points=1024, voxel_caps=[1024, 512],
+                     max_instances=8, use_multiview=False)
+    return build_batch(scenes, spec)
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices (conftest XLA flag)")
+    return devs[:8]
+
+
+def _run_step(devices, batch_np, optim="AdamW"):
+    mesh = make_mesh(devices)
+    model = _tiny_model()
+    with jax.set_mesh(mesh):
+        batch = shard_batch(jax.tree.map(jnp.asarray, batch_np), mesh)
+        tx = make_optimizer(lr=1e-3, steps_per_epoch=10, optim=optim)
+        state = create_train_state(model, batch, jax.random.key(0), tx)
+        state = replicate(state, mesh)
+        step = jit_train_step(model)
+        state, metrics = step(state, batch, jax.random.key(1))
+        jax.block_until_ready(metrics["total_loss"])
+    return state, metrics
+
+
+def test_dp_sharded_train_step_finite(eight_devices):
+    state, metrics = _run_step(eight_devices, _batch(8))
+    total = float(metrics["total_loss"])
+    assert np.isfinite(total)
+    assert float(metrics["grad_norm"]) > 0.0
+    # params stay replicated: every leaf is fully addressable on all devices
+    leaves = jax.tree.leaves(state.params)
+    assert leaves, "no params"
+    for leaf in leaves[:4] + leaves[-4:]:
+        assert leaf.sharding.is_fully_replicated
+        shards = leaf.addressable_shards
+        assert len(shards) == 8
+        first = np.asarray(shards[0].data)
+        for s in shards[1:]:
+            np.testing.assert_array_equal(first, np.asarray(s.data))
+
+
+def test_dp_equals_single_device(eight_devices):
+    """1-device vs 8-device numerical equivalence on the same global batch.
+
+    GSPMD's gradient all-reduce over the dp axis must reproduce the
+    single-device gradient (DDP semantics) up to float tolerance.  SGD is
+    used so the param delta is linear in the gradient (Adam's first-step
+    update is ~sign(g)*lr, which turns reduction-order noise on near-zero
+    gradient entries into full sign flips).
+    """
+    batch_np = _batch(8)
+    s8, m8 = _run_step(eight_devices, batch_np, optim="SGD")
+    s1, m1 = _run_step(eight_devices[:1], batch_np, optim="SGD")
+    np.testing.assert_allclose(
+        float(m1["total_loss"]), float(m8["total_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m1["grad_norm"]), float(m8["grad_norm"]), rtol=1e-4
+    )
+    p1 = jax.tree.leaves(s1.params)
+    p8 = jax.tree.leaves(s8.params)
+    assert len(p1) == len(p8)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+        )
