@@ -34,13 +34,28 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when any cc/ source is newer than the built library."""
+    try:
+        lib_mtime = os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return True
+    for name in os.listdir(_CC_DIR):
+        if name.endswith((".cc", ".h")) or name == "Makefile":
+            if os.path.getmtime(os.path.join(_CC_DIR, name)) > lib_mtime:
+                return True
+    return False
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and not _build():
-        return None
+    # rebuild when sources changed so a stale binary never shadows cc/
+    if (not os.path.exists(_LIB_PATH) or _stale()) and not _build():
+        if not os.path.exists(_LIB_PATH):
+            return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
         i32p = ctypes.POINTER(ctypes.c_int32)

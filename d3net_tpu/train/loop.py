@@ -58,52 +58,85 @@ class MetricLogger:
 
 
 class Checkpointer:
-    """Best+last checkpoints with the reference's monitor semantics."""
+    """Best + last checkpoints with the reference's monitor semantics.
+
+    Parity: Lightning ``ModelCheckpoint(monitor, save_last=True)`` keeps the
+    best ``model.ckpt`` *and* ``last.ckpt`` (reference
+    ``scripts/train.py:252-262``).  Here ``ckpt/`` rotates the last 3 epochs
+    while ``ckpt_best/`` pins the single best step — it is saved only on
+    monitor improvement and never garbage-collected, so a long run cannot
+    rotate its best step away.  The best value survives resume via
+    ``best.json``.
+    """
 
     def __init__(self, run_dir: str, monitor: str, mode: str = "min"):
+        root = os.path.abspath(run_dir)
         self.mgr = ocp.CheckpointManager(
-            os.path.join(os.path.abspath(run_dir), "ckpt"),
+            os.path.join(root, "ckpt"),
             options=ocp.CheckpointManagerOptions(max_to_keep=3),
         )
+        self.best_mgr = ocp.CheckpointManager(
+            os.path.join(root, "ckpt_best"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1),
+        )
+        self._best_meta = os.path.join(root, "ckpt_best", "best.json")
         self.monitor = monitor
         self.mode = mode
         self.best = np.inf if mode == "min" else -np.inf
         self.best_step: Optional[int] = None
+        if os.path.exists(self._best_meta):
+            try:
+                with open(self._best_meta) as f:
+                    meta = json.load(f)
+                self.best = float(meta["value"])
+                self.best_step = int(meta["step"])
+            except Exception:
+                pass
 
     def is_better(self, value: float) -> bool:
         return value < self.best if self.mode == "min" else value > self.best
 
+    @staticmethod
+    def _payload(state: TrainState):
+        return {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+
     def save(self, step: int, state: TrainState, metrics: Dict[str, float]):
         value = metrics.get(self.monitor)
-        payload = {
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-            "step": state.step,
-        }
+        payload = self._payload(state)
         self.mgr.save(step, args=ocp.args.StandardSave(payload))
         if value is not None and self.is_better(value):
-            self.best = value
+            self.best = float(value)
             self.best_step = step
+            self.best_mgr.save(step, args=ocp.args.StandardSave(payload))
+            self.best_mgr.wait_until_finished()
+            with open(self._best_meta, "w") as f:
+                json.dump({"step": step, "value": self.best,
+                           "monitor": self.monitor, "mode": self.mode}, f)
         self.mgr.wait_until_finished()
 
-    def restore_last(self, state: TrainState) -> Optional[TrainState]:
-        step = self.mgr.latest_step()
+    def _restore(self, mgr, state: TrainState) -> Optional[TrainState]:
+        step = mgr.latest_step()
         if step is None:
             return None
-        template = {
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-            "step": state.step,
-        }
-        restored = self.mgr.restore(step, args=ocp.args.StandardRestore(template))
+        template = self._payload(state)
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
         return state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
+
+    def restore_last(self, state: TrainState) -> Optional[TrainState]:
+        return self._restore(self.mgr, state)
+
+    def restore_best(self, state: TrainState) -> Optional[TrainState]:
+        return self._restore(self.best_mgr, state)
 
 
 def detector_from_cfg(cfg: Config) -> PointGroup:

@@ -21,6 +21,8 @@ def main():
     p.add_argument("--folder", required=True, help="run dir with ckpt/")
     p.add_argument("--name", required=True, help="output tag")
     p.add_argument("--out", default="pretrained")
+    p.add_argument("--which", choices=["best", "last"], default="best",
+                   help="pinned-best checkpoint (default) or the latest")
     args = p.parse_args()
 
     import jax
@@ -28,7 +30,17 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
 
-    mgr = ocp.CheckpointManager(os.path.abspath(os.path.join(args.folder, "ckpt")))
+    # the stage curriculum hands off the *best* checkpoint (reference keeps
+    # a pinned best model.ckpt, scripts/train.py:252-262); fall back to the
+    # rotating last-N dir when no best was ever recorded
+    best_dir = os.path.abspath(os.path.join(args.folder, "ckpt_best"))
+    mgr = None
+    if args.which == "best" and os.path.isdir(best_dir):
+        mgr = ocp.CheckpointManager(best_dir)
+        if mgr.latest_step() is None:
+            mgr = None
+    if mgr is None:
+        mgr = ocp.CheckpointManager(os.path.abspath(os.path.join(args.folder, "ckpt")))
     step = mgr.latest_step()
     assert step is not None, f"no checkpoint in {args.folder}"
     restored = mgr.restore(step)
