@@ -92,6 +92,7 @@ class BatchIterator:
         elastic: bool = False,
         seed: int = 0,
         prefetch: int = 2,
+        workers: int = 1,
         drop_last: bool = True,
         return_scenes: bool = False,
     ):
@@ -103,6 +104,7 @@ class BatchIterator:
         self.elastic = elastic
         self.seed = seed
         self.prefetch = prefetch
+        self.workers = max(1, int(workers))
         self.drop_last = drop_last
         self.return_scenes = return_scenes
         self.epoch = 0
@@ -111,27 +113,59 @@ class BatchIterator:
         n = len(self.scenes)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _build_one(self, order: np.ndarray, b: int):
+        """Build batch ``b`` of the epoch (deterministic per-batch rng, so
+        multi-worker builds are order-independent and reproducible)."""
+        rng = np.random.default_rng(
+            (self.seed + 1) * 1_000_003 + self.epoch * 131_071 + b
+        )
+        idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+        scenes = []
+        for i in idx:
+            s = self.scenes[int(i)]
+            if self.augment:
+                s = augment_scene(
+                    s, rng, elastic=self.elastic, scale=self.spec.scale
+                )
+            scenes.append(s)
+        batch = build_batch(scenes, self.spec)
+        return (batch, scenes) if self.return_scenes else batch
+
     def _epoch_batches(self) -> Iterator[dict]:
         rng = np.random.default_rng(self.seed + self.epoch)
         order = np.arange(len(self.scenes))
         if self.shuffle:
             rng.shuffle(order)
+        for b in range(len(self)):
+            yield self._build_one(order, b)
+
+    def _epoch_batches_parallel(self) -> Iterator[dict]:
+        """num_workers-style parallel batch building (reference used 8
+        DataLoader workers, ``conf/pointgroup.yaml num_workers``); threads
+        suffice because the hot collate work (numpy + cc kernels) releases
+        the GIL."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        rng = np.random.default_rng(self.seed + self.epoch)
+        order = np.arange(len(self.scenes))
+        if self.shuffle:
+            rng.shuffle(order)
         nb = len(self)
-        for b in range(nb):
-            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-            scenes = []
-            for i in idx:
-                s = self.scenes[int(i)]
-                if self.augment:
-                    s = augment_scene(
-                        s, rng, elastic=self.elastic, scale=self.spec.scale
-                    )
-                scenes.append(s)
-            batch = build_batch(scenes, self.spec)
-            yield (batch, scenes) if self.return_scenes else batch
+        inflight = self.workers + max(1, self.prefetch)
+        with ThreadPoolExecutor(max_workers=self.workers) as ex:
+            futs = {b: ex.submit(self._build_one, order, b)
+                    for b in range(min(inflight, nb))}
+            nxt = len(futs)
+            for b in range(nb):
+                yield futs.pop(b).result()
+                if nxt < nb:
+                    futs[nxt] = ex.submit(self._build_one, order, nxt)
+                    nxt += 1
 
     def __iter__(self) -> Iterator[dict]:
-        if self.prefetch <= 0:
+        if self.workers > 1:
+            yield from self._epoch_batches_parallel()
+        elif self.prefetch <= 0:
             yield from self._epoch_batches()
         else:
             q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

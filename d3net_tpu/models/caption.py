@@ -51,6 +51,8 @@ class CaptionModule(nn.Module):
     max_len: int = 30          # data.max_spk_len
     min_iou_threshold: float = 0.25
     use_relation: bool = True
+    beam_group_size: int = 1       # diverse beam: groups of beam_size/g
+    diversity_lambda: float = 0.5  # same-step word-repeat penalty
 
     def setup(self):
         self.map_topdown = nn.Dense(self.emb_size)
@@ -140,17 +142,34 @@ class CaptionModule(nn.Module):
         return ids, logits
 
     def beam_decode(self, embeddings, target_feat, obj_feats, valid_masks,
-                    beam_size: int, max_len: Optional[int] = None):
-        """Beam search with the beam dim folded into the batch.
+                    beam_size: int, max_len: Optional[int] = None,
+                    group_size: int = 1, diversity_lambda: float = 0.5):
+        """(Diverse) beam search with the beam dim folded into the batch.
+
+        ``beam_size`` splits into ``group_size`` groups of ``bdash`` beams.
+        At every step, group g's log-probs are penalized by
+        ``diversity_lambda x count`` of each word already selected by groups
+        < g at the *same* step — the same-local-time penalty of diverse beam
+        search (reference ``add_diversity``, ``caption_module.py:139-156``,
+        adapted from self-critical.pytorch), realized without the
+        reference's group time-stagger: a static Python loop over groups
+        inside one scan step gives each group the earlier groups' current
+        choices directly.  Selection uses the augmented scores; the recorded
+        per-step logps are unaugmented (what the RL policy gradient needs,
+        ref ``:614``).  group_size=1 == standard beam search.
 
         Returns (seqs (N, beam, T), logps (N, beam, T), scores (N, beam)),
-        beams sorted best-first.  Finished beams are frozen on pad with
-        0 logp (mask arithmetic replaces the reference's ragged
-        ``done_beams`` lists, ``beam_search`` :136-314).
+        groups concatenated in order, each sorted best-first (matching the
+        reference's done_beams ordering).  Finished beams are frozen on pad
+        with 0 logp (mask arithmetic replaces the ragged ``done_beams``
+        lists).
         """
         n = target_feat.shape[0]
         t = (max_len or self.max_len) + 1
         bm = beam_size
+        g_n = max(1, int(group_size))
+        assert bm % g_n == 0, "beam_size must be divisible by group_size"
+        bd = bm // g_n
         v = self.num_vocabs
 
         tf_b = jnp.repeat(target_feat, bm, axis=0)
@@ -162,24 +181,52 @@ class CaptionModule(nn.Module):
             logits, new_hiddens, _ = mdl.step(
                 hiddens, embeddings[last_ids.reshape(-1)], tf_b, of_b, vm_b
             )
-            logp = jax.nn.log_softmax(logits, -1).reshape(n, bm, v)
-            pad_only = jnp.full((n, bm, v), _NEG).at[:, :, mdl.pad_id].set(0.0)
-            logp = jnp.where(done[:, :, None], pad_only, logp)
-            cand = (scores[:, :, None] + logp).reshape(n, bm * v)
-            top_scores, top_idx = jax.lax.top_k(cand, bm)
-            beam_src = (top_idx // v).astype(jnp.int32)
-            word = (top_idx % v).astype(jnp.int32)
+            logp_all = jax.nn.log_softmax(logits, -1).reshape(n, g_n, bd, v)
+            done_g = done.reshape(n, g_n, bd)
+            scores_g = scores.reshape(n, g_n, bd)
+            pad_only = jnp.full((n, bd, v), _NEG).at[:, :, mdl.pad_id].set(0.0)
+
+            counts = jnp.zeros((n, v))
+            words, srcs_glob, step_lps, new_scores, new_done = [], [], [], [], []
+            for g in range(g_n):  # static loop: groups see earlier groups
+                lp_un = jnp.where(done_g[:, g, :, None], pad_only,
+                                  logp_all[:, g])
+                if g > 0:
+                    lp_aug = jnp.where(
+                        done_g[:, g, :, None], lp_un,
+                        lp_un - diversity_lambda * counts[:, None, :])
+                else:
+                    lp_aug = lp_un
+                cand = (scores_g[:, g][:, :, None] + lp_aug).reshape(n, bd * v)
+                top_scores, top_idx = jax.lax.top_k(cand, bd)
+                src = (top_idx // v).astype(jnp.int32)
+                word = (top_idx % v).astype(jnp.int32)
+                step_lp = jnp.take_along_axis(
+                    lp_un.reshape(n, bd * v), top_idx, axis=1)
+                dg = jnp.take_along_axis(done_g[:, g], src, axis=1) | (
+                    word == mdl.eos_id)
+                counts = counts + jax.nn.one_hot(word, v).sum(1)
+                words.append(word)
+                srcs_glob.append(src + g * bd)
+                step_lps.append(step_lp)
+                new_scores.append(top_scores)
+                new_done.append(dg)
+
+            word = jnp.concatenate(words, axis=1)
+            beam_src = jnp.concatenate(srcs_glob, axis=1)
+            step_logp = jnp.concatenate(step_lps, axis=1)
+            top_scores = jnp.concatenate(new_scores, axis=1)
+            done = jnp.concatenate(new_done, axis=1)
             gidx = (jnp.arange(n)[:, None] * bm + beam_src).reshape(-1)
             h1, h2 = new_hiddens
             hiddens = (h1[gidx], h2[gidx])
-            done = jnp.take_along_axis(done, beam_src, axis=1) | (word == mdl.eos_id)
-            step_logp = jnp.take_along_axis(logp.reshape(n, bm * v), top_idx, axis=1)
             return (hiddens, word, top_scores, done), (word, step_logp, beam_src)
 
+        init_scores = jnp.full((n, g_n, bd), _NEG).at[:, :, 0].set(0.0)
         init = (
             self._init_hiddens(n * bm),
             jnp.full((n, bm), self.sos_id, jnp.int32),
-            jnp.full((n, bm), _NEG).at[:, 0].set(0.0),
+            init_scores.reshape(n, bm),
             jnp.zeros((n, bm), bool),
         )
         carry, (words, logps, srcs) = nn.scan(
@@ -322,7 +369,9 @@ class CaptionModule(nn.Module):
             out["lang_cap"] = logits                     # (N, T-1, V)
         elif mode == "rl":
             seqs, lps, _ = self.beam_decode(
-                embeddings, target_feats, obj_feats, vm, beam_size
+                embeddings, target_feats, obj_feats, vm, beam_size,
+                group_size=self.beam_group_size,
+                diversity_lambda=self.diversity_lambda,
             )
             out["sampled_cap"] = seqs[:, :sample_topn]   # (N, topn, T)
             out["sampled_logps"] = lps[:, :sample_topn]

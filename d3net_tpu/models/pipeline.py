@@ -75,6 +75,8 @@ class PipelineNet(nn.Module):
     no_detection: bool = False
     no_captioning: bool = False
     no_grounding: bool = False
+    beam_group_size: int = 1       # diverse-beam groups for the RL sampler
+    diversity_lambda: float = 0.5
 
     def setup(self):
         self.detector = PointGroup(**self.detector_cfg)
@@ -92,6 +94,8 @@ class PipelineNet(nn.Module):
                 min_iou_threshold=self.min_iou_threshold,
                 use_relation=self.use_relation,
                 use_orientation=self.use_orientation,
+                beam_group_size=self.beam_group_size,
+                diversity_lambda=self.diversity_lambda,
             )
         if not self.no_grounding:
             self.listener = ListenerNet(

@@ -25,6 +25,8 @@ class SpeakerNet(nn.Module):
     use_relation: bool = True
     use_orientation: bool = True
     no_captioning: bool = False
+    beam_group_size: int = 1
+    diversity_lambda: float = 0.5
 
     def setup(self):
         if self.num_graph_steps > 0:
@@ -46,6 +48,8 @@ class SpeakerNet(nn.Module):
                 max_len=self.max_len,
                 min_iou_threshold=self.min_iou_threshold,
                 use_relation=self.use_relation,
+                beam_group_size=self.beam_group_size,
+                diversity_lambda=self.diversity_lambda,
             )
 
     def __call__(self, data: Dict[str, Any], mode: str = "tf", rng=None,

@@ -189,16 +189,17 @@ def make_dataloaders(cfg: Config, spec: BatchSpec, return_scenes: bool = False):
     train_scenes = SyntheticScenes(syn.num_scenes, "train", **kw)
     val_scenes = SyntheticScenes(max(2, syn.num_scenes // 8), "val", **kw)
     tr = cfg.data.transform
+    workers = int(cfg.data.get("num_workers", 1) or 1)
     train_it = BatchIterator(
         train_scenes, spec, cfg.data.batch_size,
         shuffle=True, augment=bool(tr.jitter or tr.flip or tr.rot),
         elastic=bool(cfg.data.get("elastic", False)), seed=cfg.general.manual_seed,
-        return_scenes=return_scenes,
+        return_scenes=return_scenes, workers=workers,
     )
     val_it = BatchIterator(
         val_scenes, spec, cfg.data.batch_size,
         shuffle=False, augment=False, seed=0, drop_last=False,
-        return_scenes=return_scenes,
+        return_scenes=return_scenes, workers=workers,
     )
     return train_it, val_it
 

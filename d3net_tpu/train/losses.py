@@ -101,9 +101,107 @@ def score_loss(scores_logits, member_pt, instance_ids, point_mask, cluster_mask,
     return (bce * w).sum() / jnp.maximum(w.sum(), 1.0), gt_iou
 
 
+def _huber(x, delta: float = 1.0):
+    ax = jnp.abs(x)
+    q = jnp.minimum(ax, delta)
+    return 0.5 * q * q + delta * (ax - q)
+
+
+def _masked_ce(logits, labels, mask):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    m = mask.astype(logits.dtype)
+    return (nll * m).sum(-1) / jnp.maximum(m.sum(-1), 1.0)  # per scene
+
+
+def bbox_loss(out: Dict, batch: Dict, mean_size_arr=None) -> Dict:
+    """VoteNet-style box + sem-cls loss for the ``pred_bbox`` head.
+
+    Parity: ``compute_box_and_sem_cls_loss`` (reference
+    ``lib/utils/loss.py:93-196``), redesigned for fixed shapes: the
+    per-scene Python loop over ragged proposal/instance ranges becomes one
+    masked (B, P, I) chamfer + gathers.  ScanNet boxes are axis-aligned so
+    heading is a single degenerate bin with label 0, and the size-cluster
+    class equals the semantic class with residual = size - mean_size[class]
+    (reference ``lib/dataset/pipeline.py:766``).
+
+    bbox = center + 0.1*heading_cls + heading_reg + 0.1*size_cls + size_reg
+    (sem_cls is reported but NOT inside bbox_loss — same as the reference).
+    """
+    pc = out["pred_center"]                          # (B, P, 3)
+    pmask = out["cluster_mask_all"] > 0              # (B, P)
+    gtc = batch["center_label"]                      # (B, I, 3)
+    gts = batch["size_label"]                        # (B, I, 3)
+    gcls = batch["sem_cls_label"].astype(jnp.int32)  # (B, I)
+    gmask = batch["gt_box_mask"] > 0                 # (B, I)
+    ns = out["size_scores"].shape[-1]
+    if mean_size_arr is None:
+        mean_size = jnp.ones((ns, 3), pc.dtype)
+    else:
+        mean_size = jnp.asarray(mean_size_arr, pc.dtype)
+
+    big = jnp.asarray(1e9, pc.dtype)
+    d = ((pc[:, :, None, :] - gtc[:, None, :, :]) ** 2).sum(-1)  # (B,P,I)
+    d_gt = jnp.where(gmask[:, None, :], d, big)
+    d1 = d_gt.min(-1)                                # (B, P) pred->gt
+    assign = jnp.argmin(d_gt, axis=-1)               # (B, P)
+    d_pred = jnp.where(pmask[:, :, None], d, big)
+    d2 = d_pred.min(1)                               # (B, I) gt->pred
+    pn = jnp.maximum(pmask.sum(-1), 1e-6)
+    gn = jnp.maximum(gmask.sum(-1), 1e-6)
+    any_gt = gmask.any(-1)
+    any_pred = pmask.any(-1)
+    ok1 = pmask & any_gt[:, None]
+    ok2 = gmask & any_pred[:, None]
+    center_per = (jnp.where(ok1, d1, 0.0).sum(-1) / pn
+                  + jnp.where(ok2, d2, 0.0).sum(-1) / gn)
+
+    cls_at = jnp.take_along_axis(gcls, assign, axis=1)          # (B, P)
+    valid_p = ok1  # proposals only supervise when a GT exists
+
+    # heading: 1 bin, label 0, residual label 0 (AABB)
+    h_cls_per = _masked_ce(
+        out["heading_scores"], jnp.zeros_like(assign), valid_p)
+    h_reg_per = (jnp.where(
+        valid_p, _huber(out["heading_residuals_normalized"][..., 0]), 0.0
+    ).sum(-1) / pn)
+
+    s_cls_per = _masked_ce(out["size_scores"], cls_at, valid_p)
+    srn = out["size_residuals_normalized"]                      # (B,P,ns,3)
+    pred_res = jnp.take_along_axis(
+        srn, cls_at[:, :, None, None], axis=2)[:, :, 0, :]      # (B,P,3)
+    mean_at = mean_size[cls_at]                                 # (B,P,3)
+    gt_size_at = jnp.take_along_axis(
+        gts, assign[:, :, None], axis=1)                        # (B,P,3)
+    res_label = (gt_size_at - mean_at) / jnp.maximum(mean_at, 1e-6)
+    s_reg_per = (jnp.where(
+        valid_p, _huber(pred_res - res_label).mean(-1), 0.0
+    ).sum(-1) / pn)
+
+    sem_per = _masked_ce(out["sem_cls_scores"], cls_at, valid_p)
+
+    losses = {
+        "center_loss": center_per.mean(),
+        "heading_cls_loss": h_cls_per.mean(),
+        "heading_reg_loss": h_reg_per.mean(),
+        "size_cls_loss": s_cls_per.mean(),
+        "size_reg_loss": s_reg_per.mean(),
+        "bbox_sem_cls_loss": sem_per.mean(),
+    }
+    losses["bbox_loss"] = (
+        losses["center_loss"]
+        + 0.1 * losses["heading_cls_loss"]
+        + losses["heading_reg_loss"]
+        + 0.1 * losses["size_cls_loss"]
+        + losses["size_reg_loss"]
+    )
+    return losses
+
+
 def detector_loss(out: Dict, batch: Dict, *, loss_weight=(1.0, 1.0, 1.0, 1.0),
                   fg_thresh: float = 0.75, bg_thresh: float = 0.25,
-                  ignore_label: int = -1, with_score: bool = True) -> Dict:
+                  ignore_label: int = -1, with_score: bool = True,
+                  mean_size_arr=None) -> Dict:
     """Assemble the full detector loss dict (ref ``loss`` + weights)."""
     losses: Dict[str, jnp.ndarray] = {}
     losses["semantic_loss"] = cross_entropy_ignore(
@@ -133,5 +231,10 @@ def detector_loss(out: Dict, batch: Dict, *, loss_weight=(1.0, 1.0, 1.0, 1.0),
             / jnp.maximum(out["cluster_mask_all"].sum(), 1.0)
         )
         total = total + loss_weight[3] * s_loss
+    if "pred_center" in out:
+        bb = bbox_loss(out, batch, mean_size_arr=mean_size_arr)
+        losses.update(bb)
+        w_bb = loss_weight[4] if len(loss_weight) > 4 else 1.0
+        total = total + w_bb * bb["bbox_loss"]
     losses["total_loss"] = total
     return losses

@@ -94,6 +94,8 @@ def pipeline_from_cfg(cfg: Config, vocab: Vocabulary) -> PipelineNet:
         num_text_classes=cfg.model.num_bbox_class,
         no_captioning=bool(cfg.model.no_captioning),
         no_grounding=bool(cfg.model.no_grounding),
+        beam_group_size=int(cfg.train.get("beam_group_size", 1) or 1),
+        diversity_lambda=float(cfg.train.get("diversity_lambda", 0.5)),
     )
 
 

@@ -90,6 +90,7 @@ def detector_train_step(
     *,
     loss_weight=(1.0, 1.0, 1.0, 1.0),
     do_clustering: bool = True,
+    mean_size_arr=None,
 ) -> Tuple[TrainState, Dict]:
     """One optimization step. Wrap with jax.jit(static 'model', donate state)."""
     r1, r2 = jax.random.split(jax.random.fold_in(rng, state.step))
@@ -104,7 +105,8 @@ def detector_train_step(
             mutable=["batch_stats"],
         )
         losses = detector_loss(
-            out, batch, loss_weight=loss_weight, with_score=do_clustering
+            out, batch, loss_weight=loss_weight, with_score=do_clustering,
+            mean_size_arr=mean_size_arr,
         )
         return losses["total_loss"], (losses, mutated["batch_stats"])
 

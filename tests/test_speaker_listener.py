@@ -249,3 +249,76 @@ def test_lang_cls_loss():
     labels = jnp.asarray([0, 1])
     loss, acc = lang_cls_loss(scores, labels)
     assert float(loss) < 1e-3 and float(acc) == 1.0
+
+
+def test_diverse_beam_zero_lambda_equals_greedy(caption_setup):
+    """G groups with diversity_lambda=0 and 1 beam each all reproduce the
+    greedy rollout (the group penalty is the ONLY coupling between groups)."""
+    cm, vs, data = caption_setup
+
+    def run(v, d):
+        emb = d["glove_embeddings"]
+        n = d["lang_ids"].shape[0]
+        tgt = d["bbox_feature"][jnp.arange(n), jnp.zeros(n, jnp.int32)]
+        return cm.apply(
+            v, emb, tgt, d["bbox_feature"], d["proposal_batch_mask"],
+            3, None, 3, 0.0, method=cm.beam_decode,
+        )
+
+    seqs, lps, scores = jax.jit(run)(vs, data)
+    s = np.asarray(seqs)
+    np.testing.assert_array_equal(s[:, 0], s[:, 1])
+    np.testing.assert_array_equal(s[:, 0], s[:, 2])
+
+    def run_greedy(v, d):
+        emb = d["glove_embeddings"]
+        n = d["lang_ids"].shape[0]
+        tgt = d["bbox_feature"][jnp.arange(n), jnp.zeros(n, jnp.int32)]
+        ids, _ = cm.apply(
+            v, emb, tgt, d["bbox_feature"], d["proposal_batch_mask"],
+            method=cm.greedy_decode,
+        )
+        return ids
+
+    greedy = np.asarray(jax.jit(run_greedy)(vs, data))
+    np.testing.assert_array_equal(s[:, 0], greedy[:, : s.shape[2]])
+
+
+def test_diverse_beam_groups_diverge(caption_setup):
+    """With a large diversity penalty, later groups must avoid the words
+    earlier groups picked at the same step (reference add_diversity)."""
+    cm, vs, data = caption_setup
+
+    def run(v, d):
+        emb = d["glove_embeddings"]
+        n = d["lang_ids"].shape[0]
+        tgt = d["bbox_feature"][jnp.arange(n), jnp.zeros(n, jnp.int32)]
+        return cm.apply(
+            v, emb, tgt, d["bbox_feature"], d["proposal_batch_mask"],
+            3, None, 3, 100.0, method=cm.beam_decode,
+        )
+
+    seqs, lps, scores = jax.jit(run)(vs, data)
+    first = np.asarray(seqs)[:, :, 0]  # (N, 3 groups) first words
+    for row in first:
+        assert len(set(row.tolist())) == 3, f"groups not diverse: {row}"
+
+
+def test_standard_beam_score_equals_logp_sum(caption_setup):
+    """group_size=1: no augmentation, so the running beam score must equal
+    the sum of the recorded per-step (unaugmented) logps."""
+    cm, vs, data = caption_setup
+
+    def run(v, d):
+        emb = d["glove_embeddings"]
+        n = d["lang_ids"].shape[0]
+        tgt = d["bbox_feature"][jnp.arange(n), jnp.zeros(n, jnp.int32)]
+        return cm.apply(
+            v, emb, tgt, d["bbox_feature"], d["proposal_batch_mask"],
+            4, method=cm.beam_decode,
+        )
+
+    seqs, lps, scores = jax.jit(run)(vs, data)
+    np.testing.assert_allclose(
+        np.asarray(lps).sum(-1), np.asarray(scores), rtol=1e-4, atol=1e-4
+    )
