@@ -28,6 +28,7 @@ class BatchSpec:
     voxel_caps: Sequence[int] = ()      # per U-Net level; len = len(blocks)
     max_instances: int = 128            # data.max_num_instance
     scale: float = 50.0                 # data.scale (1/voxel_size)
+    full_scale: float = 512.0           # data.full_scale[1] (crop window)
     use_color: bool = False
     use_normal: bool = True
     use_multiview: bool = True

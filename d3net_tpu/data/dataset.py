@@ -37,25 +37,58 @@ class SyntheticScenes:
 
 
 class NpzScenes:
-    """ScanNet scenes preprocessed by scripts/prepare_scannet.py (npz files)."""
+    """ScanNet scenes preprocessed by scripts/prepare_scannet.py (npz files).
 
-    def __init__(self, paths: Sequence[str]):
+    ``multiview_hdf5`` attaches per-point ENet features produced by
+    ``scripts/compute_multiview_features.py`` (the reference looks scenes up
+    in ``enet_feats_maxpool.hdf5`` the same way,
+    ``lib/dataset/pipeline.py:774-802``).
+    """
+
+    def __init__(self, paths: Sequence[str], multiview_hdf5: Optional[str] = None):
         self.paths = list(paths)
+        self.multiview_hdf5 = multiview_hdf5
 
     def __len__(self):
         return len(self.paths)
 
     def __getitem__(self, i) -> Scene:
         d = np.load(self.paths[i], allow_pickle=False)
+        scene_id = str(d.get("scene_id", "scan"))
+        mv = d["multiview"] if "multiview" in d else None
+        if self.multiview_hdf5:
+            from d3net_tpu.data.multiview import read_multiview_hdf5
+
+            mv = read_multiview_hdf5(self.multiview_hdf5, scene_id)
         return Scene(
             xyz=d["xyz"],
             rgb=d["rgb"],
             normal=d["normal"],
-            multiview=d["multiview"] if "multiview" in d else None,
+            multiview=mv,
             sem_labels=d["sem_labels"],
             instance_ids=d["instance_ids"],
             instance_bboxes=d["instance_bboxes"],
-            scene_id=str(d.get("scene_id", "scan")),
+            scene_id=scene_id,
+        )
+
+
+class MultiviewAttached:
+    """Wrap any scene source, swapping in HDF5 multiview features by
+    scene_id (output of scripts/compute_multiview_features.py)."""
+
+    def __init__(self, scenes, hdf5_path: str):
+        self.scenes = scenes
+        self.hdf5_path = hdf5_path
+
+    def __len__(self):
+        return len(self.scenes)
+
+    def __getitem__(self, i) -> Scene:
+        from d3net_tpu.data.multiview import read_multiview_hdf5
+
+        s = self.scenes[i]
+        return replace(
+            s, multiview=read_multiview_hdf5(self.hdf5_path, s.scene_id)
         )
 
 
@@ -76,6 +109,31 @@ def augment_scene(scene: Scene, rng: np.random.Generator, *, jitter=True,
         xyz = (s / scale).astype(np.float32)
     normal = (scene.normal @ np.linalg.inv(m).T).astype(np.float32)
     return replace(scene, xyz=xyz, normal=normal)
+
+
+def subset_scene(scene: Scene, keep: np.ndarray) -> Scene:
+    """Point-wise subset of a scene (boolean mask or index array)."""
+    return replace(
+        scene,
+        xyz=scene.xyz[keep],
+        rgb=scene.rgb[keep] if scene.rgb is not None else None,
+        normal=scene.normal[keep] if scene.normal is not None else None,
+        multiview=scene.multiview[keep] if scene.multiview is not None else None,
+        sem_labels=scene.sem_labels[keep],
+        instance_ids=scene.instance_ids[keep],
+    )
+
+
+def crop_scene(scene: Scene, max_points: int, scale: float, full_scale: float,
+               rng: np.random.Generator) -> Scene:
+    """Random spatial crop to <= max_points points (ref ``lib/utils/pc.py:
+    29-50`` via ``lib/dataset/pipeline.py:159-166``): shrink a scaled-coords
+    window at a random offset instead of biased head-truncation."""
+    scaled = (scene.xyz - scene.xyz.min(0)) * scale
+    _, keep = T.crop(scaled, max_points, full_scale, rng)
+    if keep.all():
+        return scene
+    return subset_scene(scene, keep)
 
 
 class BatchIterator:
@@ -127,6 +185,11 @@ class BatchIterator:
                 s = augment_scene(
                     s, rng, elastic=self.elastic, scale=self.spec.scale
                 )
+                if len(s.xyz) > self.spec.max_points:
+                    s = crop_scene(
+                        s, self.spec.max_points, self.spec.scale,
+                        self.spec.full_scale, rng,
+                    )
             scenes.append(s)
         batch = build_batch(scenes, self.spec)
         return (batch, scenes) if self.return_scenes else batch

@@ -117,9 +117,15 @@ def lang_chunk_for_scene(
         "ref_box_corner_label": np.zeros((chunk_size, 8, 3), np.float32),
         "ref_box_label": np.zeros((chunk_size, max_instances), np.float32),
         "ref_cat_label": np.zeros(chunk_size, np.int32),
+        # 0 = unique (object class appears once in the scene), 1 = multiple
+        # (ScanRefer's ``unique_multiple`` label; ref eval_helper.py:106-112)
+        "unique_multiple": np.zeros(chunk_size, np.float32),
     }
     if n_inst == 0:
         return out
+    cls_counts = np.bincount(
+        scene.instance_bboxes[:, 6].astype(np.int64), minlength=20
+    )
     order = rng.permutation(n_inst)
     for c in range(chunk_size):
         # ~10% unannotated entries exercise the semi-supervised caption path
@@ -140,6 +146,7 @@ def lang_chunk_for_scene(
         out["ref_box_label"][c, inst] = 1.0
         cat = int(box[6]) - 2
         out["ref_cat_label"][c] = cat if cat >= 0 else 17
+        out["unique_multiple"][c] = float(cls_counts[int(box[6])] > 1)
     return out
 
 

@@ -181,16 +181,88 @@ def rouge_l(gts: Dict, cands: Dict, beta: float = 1.2) -> Tuple[float, List[floa
 
 
 # --------------------------------------------------------------------------
-# METEOR (optional, java subprocess like the reference)
+# METEOR
 # --------------------------------------------------------------------------
+#
+# The reference shells out to meteor-1.5.jar (``lib/capeval/meteor/meteor.py:
+# 12-44``); no java jar ships in this environment, so this is a clean-room
+# pure-Python METEOR with the classic parameters (Banerjee & Lavie 2005 /
+# Lavie & Agarwal 2007: alpha=0.9, beta=3.0, gamma=0.5) and two match stages
+# — exact and Porter-stem.  WordNet-synonym and paraphrase-table stages need
+# corpus data that is unavailable offline; scores therefore lower-bound the
+# jar's output slightly.  Protocol matches the reference wrapper: per-segment
+# score = max over references; corpus score = mean over segments.
+
 
 def meteor_available() -> bool:
-    import shutil
-
-    return shutil.which("java") is not None
+    return True
 
 
-def meteor(gts: Dict, cands: Dict):  # pragma: no cover - needs java jar
-    """Stub matching the reference's jar-subprocess wrapper; unavailable in
-    this environment (no meteor-1.5.jar). Returns None."""
-    return None
+def _porter_stem(word: str) -> str:
+    from nltk.stem import PorterStemmer
+
+    global _STEMMER
+    try:
+        return _STEMMER.stem(word)
+    except NameError:
+        _STEMMER = PorterStemmer()
+        return _STEMMER.stem(word)
+
+
+def _meteor_align(cand: List[str], ref: List[str]) -> List[Tuple[int, int]]:
+    """Stage-wise greedy alignment: exact matches first, then Porter-stem
+    matches over leftovers.  Within a stage each candidate word takes the
+    first unmatched reference occurrence (the classic METEOR heuristic)."""
+    matches: List[Tuple[int, int]] = []
+    used_c, used_r = set(), set()
+    for stage in (lambda w: w, _porter_stem):
+        r_slots = defaultdict(list)
+        for j, w in enumerate(ref):
+            if j not in used_r:
+                r_slots[stage(w)].append(j)
+        for i, w in enumerate(cand):
+            if i in used_c:
+                continue
+            key = stage(w)
+            while r_slots.get(key):
+                j = r_slots[key].pop(0)
+                if j in used_r:
+                    continue
+                matches.append((i, j))
+                used_c.add(i)
+                used_r.add(j)
+                break
+    return sorted(matches)
+
+
+def _meteor_segment(cand: List[str], ref: List[str], alpha: float,
+                    beta: float, gamma: float) -> float:
+    matches = _meteor_align(cand, ref)
+    m = len(matches)
+    if m == 0 or not cand or not ref:
+        return 0.0
+    prec = m / len(cand)
+    rec = m / len(ref)
+    fmean = prec * rec / (alpha * prec + (1 - alpha) * rec)
+    # chunks: maximal runs adjacent in both candidate and reference
+    chunks = 1
+    for (c0, r0), (c1, r1) in zip(matches, matches[1:]):
+        if c1 != c0 + 1 or r1 != r0 + 1:
+            chunks += 1
+    penalty = gamma * (chunks / m) ** beta
+    return fmean * (1.0 - penalty)
+
+
+def meteor(gts: Dict, cands: Dict, alpha: float = 0.9, beta: float = 3.0,
+           gamma: float = 0.5) -> Tuple[float, List[float]]:
+    scores = []
+    for k in cands.keys():
+        cand = cands[k][0].split()
+        best = max(
+            (_meteor_segment(cand, ref.split(), alpha, beta, gamma)
+             for ref in gts[k]),
+            default=0.0,
+        )
+        scores.append(best)
+    mean = sum(scores) / max(len(scores), 1)
+    return mean, scores

@@ -84,11 +84,13 @@ class CaptionEvaluator:
 
     def compute(self) -> Dict[str, float]:
         if not self.cands:
-            return {"bleu4": 0.0, "cider": 0.0, "rouge": 0.0}
+            return {"bleu4": 0.0, "cider": 0.0, "rouge": 0.0, "meteor": 0.0}
         corpus_bleu, _ = capeval.bleu(self.gts, self.cands, 4)
         cider, _ = capeval.Cider().compute_score(self.gts, self.cands)
         rouge, _ = capeval.rouge_l(self.gts, self.cands)
-        return {"bleu4": corpus_bleu[3], "cider": cider, "rouge": rouge}
+        met, _ = capeval.meteor(self.gts, self.cands)
+        return {"bleu4": corpus_bleu[3], "cider": cider, "rouge": rouge,
+                "meteor": met}
 
 
 def decode_captions(ids: np.ndarray, vocab) -> List[str]:

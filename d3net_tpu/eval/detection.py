@@ -94,8 +94,10 @@ def eval_det(
     pred_all: Dict[int, List[Tuple[int, np.ndarray, float]]],
     gt_all: Dict[int, List[Tuple[int, np.ndarray]]],
     ovthresh: float = 0.25,
-) -> Dict[int, float]:
-    """{class: AP} over all scenes (greedy matching, VOC AP)."""
+) -> Tuple[Dict[int, float], Dict[int, float]]:
+    """({class: AP}, {class: recall}) over all scenes (greedy matching,
+    VOC AP; recall = final cumulative recall, ``lib/det/eval_det.py:74-205``
+    + the ``rec[key][-1]`` readout in ``ap_helper.py:236-243``)."""
     pred = defaultdict(lambda: defaultdict(list))
     gt = defaultdict(lambda: defaultdict(list))
     for img, entries in pred_all.items():
@@ -107,6 +109,7 @@ def eval_det(
             gt[c][img].append(box)
 
     aps = {}
+    recalls = {}
     for c in gt.keys():
         recs = {img: {"bbox": boxes, "det": [False] * len(boxes)} for img, boxes in gt[c].items()}
         npos = sum(len(v) for v in gt[c].values())
@@ -134,7 +137,8 @@ def eval_det(
         rec = tp / float(npos + 1e-8)
         prec = tp / np.maximum(tp + fp, 1e-8)
         aps[c] = voc_ap(rec, prec) if len(dets) else 0.0
-    return aps
+        recalls[c] = float(rec[-1]) if len(dets) else 0.0
+    return aps, recalls
 
 
 class APCalculator:
@@ -156,8 +160,11 @@ class APCalculator:
             self._next += 1
 
     def compute_metrics(self) -> Dict[str, float]:
-        aps = eval_det(self.pred, self.gt, self.ovthresh)
+        aps, recalls = eval_det(self.pred, self.gt, self.ovthresh)
         vals = list(aps.values())
         out = {f"AP_{c}": v for c, v in aps.items()}
         out["mAP"] = float(np.mean(vals)) if vals else 0.0
+        out.update({f"Recall_{c}": v for c, v in recalls.items()})
+        rec_vals = list(recalls.values())
+        out["AR"] = float(np.mean(rec_vals)) if rec_vals else 0.0
         return out

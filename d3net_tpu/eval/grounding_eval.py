@@ -1,9 +1,12 @@
 """Visual-grounding evaluation (parity: ``lib/grounding/eval_helper.py``).
 
 Protocol: mask invalid proposals, pick the argmax-confidence proposal, score
-its IoU against the referred GT box; report Acc@0.25/0.5 with
-unique/multiple breakdowns (a description is "unique" when its object class
-appears exactly once among the scene's GT boxes).
+its IoU against the referred GT box; report Acc@0.25/0.5 overall and broken
+down by unique/multiple (the ScanRefer ``unique_multiple`` label: whether
+the referred object's class appears more than once in the scene,
+``eval_helper.py:106-108``) and by "others" (object category == 17, the
+otherfurniture bucket, ``eval_helper.py:110-112``; aggregation as in the
+reference ``scripts/eval.py:168-426``).
 """
 
 from __future__ import annotations
@@ -18,7 +21,8 @@ from d3net_tpu.utils.bbox import aabb_iou_corners
 class GroundingEvaluator:
     def __init__(self):
         self.ious: List[float] = []
-        self.unique: List[bool] = []
+        self.multiple: List[bool] = []
+        self.others: List[bool] = []
 
     def add(
         self,
@@ -27,7 +31,8 @@ class GroundingEvaluator:
         pred_mask: np.ndarray,        # (N, P)
         ref_corner_label: np.ndarray, # (N, 8, 3)
         annotated: np.ndarray,        # (N,)
-        is_unique: np.ndarray = None, # (N,) unique-class flag per description
+        unique_multiple: np.ndarray = None,  # (N,) 0=unique, 1=multiple
+        object_cat: np.ndarray = None,       # (N,) 18-class ids; 17 = others
     ):
         conf = np.where(pred_mask > 0, cluster_ref, -1e30)
         pick = conf.argmax(-1)
@@ -37,20 +42,35 @@ class GroundingEvaluator:
             if annotated[i] <= 0:
                 continue
             self.ious.append(float(iou[i]))
-            self.unique.append(bool(is_unique[i]) if is_unique is not None else False)
+            self.multiple.append(
+                bool(unique_multiple[i] > 0) if unique_multiple is not None
+                else False
+            )
+            self.others.append(
+                bool(object_cat[i] == 17) if object_cat is not None else False
+            )
 
-    def compute(self) -> Dict[str, float]:
+    @staticmethod
+    def _accs(ious: np.ndarray, tag: str) -> Dict[str, float]:
+        if ious.size == 0:
+            return {}
+        p = f"{tag}_" if tag else ""
+        return {
+            f"{p}acc@0.25": float((ious >= 0.25).mean()),
+            f"{p}acc@0.5": float((ious >= 0.5).mean()),
+            f"{p}iou_mean": float(ious.mean()),
+        }
+
+    def compute(self, breakdown: bool = True) -> Dict[str, float]:
         if not self.ious:
             return {"acc@0.25": 0.0, "acc@0.5": 0.0, "iou_mean": 0.0}
         ious = np.asarray(self.ious)
-        uniq = np.asarray(self.unique)
-        out = {
-            "acc@0.25": float((ious >= 0.25).mean()),
-            "acc@0.5": float((ious >= 0.5).mean()),
-            "iou_mean": float(ious.mean()),
-        }
-        if uniq.any():
-            out["unique_acc@0.5"] = float((ious[uniq] >= 0.5).mean())
-        if (~uniq).any():
-            out["multiple_acc@0.5"] = float((ious[~uniq] >= 0.5).mean())
+        multiple = np.asarray(self.multiple)
+        others = np.asarray(self.others)
+        out = self._accs(ious, "")
+        if breakdown:
+            out.update(self._accs(ious[~multiple], "unique"))
+            out.update(self._accs(ious[multiple], "multiple"))
+            out.update(self._accs(ious[others], "others"))
+            out.update(self._accs(ious[~others], "not_others"))
         return out

@@ -168,6 +168,8 @@ def spec_from_cfg(cfg: Config) -> BatchSpec:
         voxel_caps=list(cfg.tpu.voxel_caps),
         max_instances=cfg.data.max_num_instance,
         scale=cfg.data.scale,
+        full_scale=float(cfg.data.full_scale[1]) if cfg.data.get("full_scale")
+        else 512.0,
         use_color=cfg.model.use_color,
         use_normal=cfg.model.use_normal,
         use_multiview=cfg.model.use_multiview,
@@ -188,6 +190,12 @@ def make_dataloaders(cfg: Config, spec: BatchSpec, return_scenes: bool = False):
     )
     train_scenes = SyntheticScenes(syn.num_scenes, "train", **kw)
     val_scenes = SyntheticScenes(max(2, syn.num_scenes // 8), "val", **kw)
+    mv_h5 = cfg.data.get("multiview_hdf5")
+    if mv_h5:
+        from d3net_tpu.data.dataset import MultiviewAttached
+
+        train_scenes = MultiviewAttached(train_scenes, mv_h5)
+        val_scenes = MultiviewAttached(val_scenes, mv_h5)
     tr = cfg.data.transform
     workers = int(cfg.data.get("num_workers", 1) or 1)
     train_it = BatchIterator(

@@ -86,6 +86,24 @@ def softmax_ranking_loss(preds, targets, reduce: bool = True):
     return loss.mean() if reduce else loss
 
 
+def contrastive_loss(preds, targets, margin: float = 0.2, gamma: float = 5.0,
+                     reduce: bool = True):
+    """Per-row contrastive ranking loss (ref ``ContrastiveLoss``,
+    ``lib/grounding/loss.py:27-40``; called once per batch row with
+    margin=0.2, gamma=5 in ``loss_helper.py:93,165``).
+
+    loss_i = max(0, logsumexp_j(gamma*pred_ij*(1-t_ij)) - sum_j(gamma*pred_ij*t_ij) + margin)
+
+    Negatives are zeroed (not -inf-masked) inside the logsumexp, exactly as
+    the reference multiplies by ``label.logical_not()``.
+    """
+    score = preds * gamma
+    sim = (score * targets).sum(axis=1)
+    neg_sim = jax.nn.logsumexp(score * (1.0 - targets), axis=1)
+    loss = jnp.maximum(neg_sim - sim + margin, 0.0)
+    return loss.mean() if reduce else loss
+
+
 def grounding_labels(pred_corners, ref_corner_label):
     """One-hot argmax-IoU labels (ref :148-158).
 
@@ -100,9 +118,13 @@ def grounding_loss(
     ref_corner_label,   # (N, 8, 3)
     annotated=None,     # (N,) optional mask over description rows
     reduce: bool = True,
+    loss_type: str = "cross_entropy",
 ) -> Tuple[jnp.ndarray, Dict]:
     labels, ious = grounding_labels(pred_corners, ref_corner_label)
-    per_row = softmax_ranking_loss(cluster_ref, labels, reduce=False)
+    if loss_type == "contrastive":
+        per_row = contrastive_loss(cluster_ref, labels, reduce=False)
+    else:
+        per_row = softmax_ranking_loss(cluster_ref, labels, reduce=False)
     if annotated is not None:
         w = annotated.astype(per_row.dtype)
         loss = (per_row * w).sum() / jnp.maximum(w.sum(), 1.0)

@@ -187,7 +187,8 @@ def speaker_train_step(model, rotations_available, state, batch, lang, rng,
 
 
 def listener_train_step(model, state, batch, lang, rng, chunk_size: int,
-                        det_weight=(1.0, 1.0, 1.0, 1.0)):
+                        det_weight=(1.0, 1.0, 1.0, 1.0),
+                        loss_type: str = "cross_entropy"):
     """Mode 2: det -> listener XE grounding (ref :193-226)."""
     rngs = _rngs(rng, state.step)
 
@@ -211,6 +212,7 @@ def listener_train_step(model, state, batch, lang, rng, chunk_size: int,
         ref_l, ref_m = grounding_loss(
             data["cluster_ref"], extra["proposal_bbox_rows"],
             lang["ref_box_corner_label"], lang["annotated"],
+            loss_type=loss_type,
         )
         lang_l, lang_acc = lang_cls_loss(
             data["lang_scores"], lang["ref_cat_label"], lang["annotated"]
@@ -276,7 +278,8 @@ def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
                         ref_reward_weight: float = 1.0,
                         lang_reward_weight: float = 1.0,
                         listener_reward_weight: float = 0.1,
-                        caption_reward_weight: float = 1.0):
+                        caption_reward_weight: float = 1.0,
+                        loss_type: str = "cross_entropy"):
     """Mode 3: joint self-critical RL over two dataloader streams
     (ref :228-309)."""
     rngs = _rngs(rng, state.step)
@@ -326,6 +329,7 @@ def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
         ref_sampled, ref_m = grounding_loss(
             s_out["cluster_ref"], prop_rows_topn,
             data["mod_ref_box_corner_label"], reduce=False,
+            loss_type=loss_type,
         )
         lang_sampled, _ = lang_cls_loss(
             s_out["lang_scores"], data["mod_ref_cat_label"], reduce=False
@@ -340,6 +344,7 @@ def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
         ref_baseline, _ = grounding_loss(
             b_out["cluster_ref"], prop_rows_topn,
             data["mod_ref_box_corner_label"], reduce=False,
+            loss_type=loss_type,
         )
         lang_baseline, _ = lang_cls_loss(
             b_out["lang_scores"], data["mod_ref_cat_label"], reduce=False
@@ -402,6 +407,7 @@ def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
         ref2, ref2_m = grounding_loss(
             data2["cluster_ref"], extra2["proposal_bbox_rows"],
             lis_lang["ref_box_corner_label"], lis_lang["annotated"],
+            loss_type=loss_type,
         )
         lang2, lang2_acc = lang_cls_loss(
             data2["lang_scores"], lis_lang["ref_cat_label"], lis_lang["annotated"]
@@ -546,13 +552,15 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
         print(f"resumed from step {int(state.step)}")
 
     det_w = tuple(cfg.train.loss_weight[:4])
+    loss_type = str(cfg.model.get("loss_type", "cross_entropy"))
     if mode == 1:
         step_fn = jax.jit(functools.partial(
             speaker_train_step, model, False, chunk_size=chunk,
             det_weight=det_w), donate_argnums=(0,))
     elif mode == 2:
         step_fn = jax.jit(functools.partial(
-            listener_train_step, model, chunk_size=chunk, det_weight=det_w),
+            listener_train_step, model, chunk_size=chunk, det_weight=det_w,
+            loss_type=loss_type),
             donate_argnums=(0,))
     else:
         reward_fn = make_caption_reward_fn(
@@ -566,6 +574,7 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
             lang_reward_weight=cfg.train.lang_reward_weight,
             listener_reward_weight=cfg.train.listener_reward_weight,
             caption_reward_weight=cfg.train.caption_reward_weight,
+            loss_type=loss_type,
         ), donate_argnums=(0,))
 
     rng = jax.random.key(cfg.general.manual_seed + 7)
@@ -668,13 +677,19 @@ def run_pipeline_validation(cfg, model, state, val_it, vocab, emb, chunk,
                 np.asarray(data["cluster_ref"]), prop_rows, mask_rows,
                 np.asarray(lang["ref_box_corner_label"]),
                 np.asarray(lang["annotated"]),
+                unique_multiple=np.asarray(lang["unique_multiple"]),
+                object_cat=np.asarray(lang["ref_cat_label"]),
             )
 
     if mode in (1, 3):
         out.update({f"{k}": v for k, v in cap_eval.compute().items()})
     if mode in (2, 3):
-        out.update({f"ref_iou_rate_{k.split('@')[-1]}" if "acc@" in k else k: v
-                    for k, v in grd_eval.compute().items()})
+        # overall acc@K -> the reference's ref_iou_rate_K name; breakdown
+        # keys (unique_/multiple_/others_...) keep their prefix
+        out.update({
+            f"ref_iou_rate_{k.split('@')[-1]}" if k.startswith("acc@") else k: v
+            for k, v in grd_eval.compute().items()
+        })
     if "cider" in out and "ref_iou_rate_0.5" in out:
         out["combined"] = out["cider"] + out["ref_iou_rate_0.5"]
     return out

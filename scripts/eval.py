@@ -49,11 +49,14 @@ def eval_detection(cfg, run_dir):
     state = create_train_state(model, first, jax.random.key(0), tx)
     state = replicate(state, mesh)
     ckpt = Checkpointer(run_dir, "total_loss", "min")
-    restored = ckpt.restore_last(state)
+    restored = ckpt.restore_best(state)
+    if restored is None:
+        restored = ckpt.restore_last(state)
     if restored is None:
         print("WARNING: no checkpoint found, evaluating random weights")
     else:
         state = restored
+        print(f"evaluating checkpoint step {int(state.step)}")
 
     eval_step = jit_eval_step(model)
     calcs = {t: APCalculator(t) for t in (0.25, 0.5)}
@@ -77,7 +80,14 @@ def eval_detection(cfg, run_dir):
         )
         for c in calcs.values():
             c.step(preds, gts)
-    results = {f"mAP@{t}": c.compute_metrics()["mAP"] for t, c in calcs.items()}
+    results = {}
+    for t, c in calcs.items():
+        m = c.compute_metrics()
+        results[f"mAP@{t}"] = m["mAP"]
+        results[f"AR@{t}"] = m["AR"]
+        results[f"per_class@{t}"] = {
+            k: v for k, v in m.items() if k.startswith(("AP_", "Recall_"))
+        }
     print(json.dumps(results, indent=2))
     with open(os.path.join(run_dir, "eval_detection.json"), "w") as f:
         json.dump(results, f)

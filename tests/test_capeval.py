@@ -1,6 +1,7 @@
 import numpy as np
 
 from d3net_tpu.eval.capeval import Cider, bleu, rouge_l
+from d3net_tpu.eval import capeval
 
 
 def test_bleu_perfect_match():
@@ -60,3 +61,52 @@ def test_rouge_l():
     assert rouge_l(gts, {"0": ["zz ww"]})[0] < 1e-6
     partial = rouge_l(gts, {"0": ["the chair near table"]})[0]
     assert 0.3 < partial < 1.0
+
+
+# ---------------------------------------------------------------------------
+# METEOR (clean-room pure-Python; classic parameters)
+# ---------------------------------------------------------------------------
+
+def test_meteor_identical_sentence():
+    gts = {"0": ["the red chair near the table"]}
+    cands = {"0": ["the red chair near the table"]}
+    mean, scores = capeval.meteor(gts, cands)
+    # perfect match, one chunk: P=R=1, fmean=1, penalty=0.5*(1/6)^3
+    want = 1.0 * (1.0 - 0.5 * (1 / 6) ** 3)
+    assert abs(mean - want) < 1e-9
+
+
+def test_meteor_no_overlap_zero():
+    mean, _ = capeval.meteor({"0": ["cat dog"]}, {"0": ["sofa window"]})
+    assert mean == 0.0
+
+
+def test_meteor_hand_computed():
+    # cand: "the chair" vs ref: "the red chair" — matches: the->the(0),
+    # chair->chair(2): m=2, P=2/2=1, R=2/3, chunks=2 (non-adjacent in ref)
+    mean, _ = capeval.meteor({"0": ["the red chair"]}, {"0": ["the chair"]})
+    p, r, m, ch = 1.0, 2 / 3, 2, 2
+    fmean = p * r / (0.9 * p + 0.1 * r)
+    want = fmean * (1 - 0.5 * (ch / m) ** 3)
+    assert abs(mean - want) < 1e-9
+
+
+def test_meteor_stem_stage_matches():
+    # "chairs" should stem-match "chair"
+    mean, _ = capeval.meteor({"0": ["the chairs"]}, {"0": ["the chair"]})
+    assert mean > 0.5
+
+
+def test_meteor_word_order_penalty():
+    # same words, scrambled order -> more chunks -> lower score
+    good, _ = capeval.meteor({"0": ["a b c d e f"]}, {"0": ["a b c d e f"]})
+    bad, _ = capeval.meteor({"0": ["a b c d e f"]}, {"0": ["f e d c b a"]})
+    assert bad < good
+
+
+def test_meteor_multi_reference_takes_best():
+    gts = {"0": ["completely unrelated words here", "the red chair"]}
+    cands = {"0": ["the red chair"]}
+    mean, _ = capeval.meteor(gts, cands)
+    want = 1.0 * (1.0 - 0.5 * (1 / 3) ** 3)
+    assert abs(mean - want) < 1e-9

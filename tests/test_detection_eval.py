@@ -37,7 +37,7 @@ def test_eval_det_perfect_detection():
     gt_box = _box(0, 0, 0, 1, 1, 1)
     pred = {0: [(3, gt_box, 0.9)]}
     gt = {0: [(3, gt_box)]}
-    aps = eval_det(pred, gt, ovthresh=0.5)
+    aps, _rec = eval_det(pred, gt, ovthresh=0.5)
     assert np.isclose(aps[3], 1.0)
 
 
@@ -46,7 +46,7 @@ def test_eval_det_miss_and_fp():
     far_box = _box(10, 10, 10, 1, 1, 1)
     pred = {0: [(3, far_box, 0.9)]}  # FP only
     gt = {0: [(3, gt_box)]}
-    aps = eval_det(pred, gt, ovthresh=0.5)
+    aps, _rec = eval_det(pred, gt, ovthresh=0.5)
     assert aps[3] == 0.0
 
 
@@ -54,7 +54,7 @@ def test_eval_det_duplicate_detection_is_fp():
     gt_box = _box(0, 0, 0, 1, 1, 1)
     pred = {0: [(3, gt_box, 0.9), (3, gt_box, 0.8)]}
     gt = {0: [(3, gt_box)]}
-    aps = eval_det(pred, gt, ovthresh=0.5)
+    aps, _rec = eval_det(pred, gt, ovthresh=0.5)
     # one TP one FP on single GT: rec=[1,1], prec=[1,.5] -> AP 1.0
     assert np.isclose(aps[3], 1.0)
 
@@ -99,3 +99,17 @@ def test_ap_calculator_end_to_end():
     calc9 = APCalculator(0.95)
     calc9.step(preds, gts)
     assert calc9.compute_metrics()["mAP"] < 1.0
+
+
+def test_eval_det_recall_and_ar():
+    gt_box = _box(0, 0, 0, 1, 1, 1)
+    far_box = _box(10, 10, 10, 1, 1, 1)
+    # class 3: 2 GT, one found -> recall 0.5; class 4: 1 GT, found -> 1.0
+    pred = {0: [(3, gt_box, 0.9), (4, gt_box, 0.9)]}
+    gt = {0: [(3, gt_box), (3, far_box), (4, gt_box)]}
+    aps, rec = eval_det(pred, gt, ovthresh=0.5)
+    assert np.isclose(rec[3], 0.5) and np.isclose(rec[4], 1.0)
+    calc = APCalculator(0.5)
+    calc.step([pred[0]], [gt[0]])
+    m = calc.compute_metrics()
+    assert np.isclose(m["AR"], 0.75) and "Recall_3" in m

@@ -1,0 +1,95 @@
+"""End-to-end multiview subsystem: synthetic frames -> ENet -> back-projection
+-> HDF5 -> dataset attach (VERDICT: replace the random-noise multiview path
+with features the dataset actually loads)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from d3net_tpu.data.frames import (
+    default_intrinsic, look_at_pose, orbit_poses, render_frame,
+    render_scene_frames,
+)
+from d3net_tpu.data.multiview import (
+    ProjectionHelper, project_multiview_features, read_multiview_hdf5,
+    write_multiview_hdf5,
+)
+from d3net_tpu.data.synthetic import make_scene
+
+W, H = 64, 48
+
+
+def test_look_at_pose_orthonormal():
+    p = look_at_pose(np.array([3.0, 1.0, 2.0]), np.array([0.0, 0.0, 1.0]))
+    r = p[:3, :3]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-10)
+    # +z points from position toward target
+    f = np.array([0.0, 0.0, 1.0]) - np.array([3.0, 1.0, 2.0])
+    np.testing.assert_allclose(r[:, 2], f / np.linalg.norm(f), atol=1e-10)
+
+
+def test_render_projects_back_consistently():
+    """Points that win the z-buffer must pass the projection helper's
+    depth-consistency test; occluded points must fail it."""
+    scene = make_scene(seed=1, num_instances=4, points_per_instance=800,
+                       floor_points=2000)
+    intr = default_intrinsic(W, H)
+    pose = orbit_poses(scene.xyz, 4)[0]
+    color, depth = render_frame(scene, pose, intr, W, H)
+    assert (depth > 0).sum() > 50  # scene visible
+    helper = ProjectionHelper(intr, image_dims=(W, H), accuracy=0.05,
+                              feat_stride=8)
+    valid, px, py = helper.project(scene.xyz, pose, depth)
+    assert valid.sum() > 0
+    # every valid point's depth matches the rendered depth map
+    w2c = np.linalg.inv(pose)
+    cam = scene.xyz @ w2c[:3, :3].T + w2c[:3, 3]
+    np.testing.assert_array_less(
+        np.abs(depth[py[valid], px[valid]] - cam[valid, 2]), 0.05 + 1e-6
+    )
+
+
+def test_multiview_end_to_end(tmp_path):
+    """CLI pipeline on rendered frames; features land in the dataset."""
+    from scripts.compute_multiview_features import features_for_scene, make_encoder
+
+    scene = make_scene(seed=0, num_instances=4, points_per_instance=600,
+                       floor_points=1500)
+    colors, depths, poses = render_scene_frames(scene, 4, W, H)
+    apply_fn, _ = make_encoder(None, (H, W))
+    feats = features_for_scene(
+        scene.xyz, list(zip(colors, depths, poses)), apply_fn, (W, H),
+        default_intrinsic(W, H), depth_max=8.0,
+    )
+    assert feats.shape == (len(scene.xyz), 128)
+    assert np.isfinite(feats).all()
+    covered = np.abs(feats).sum(1) > 0
+    assert covered.mean() > 0.3  # most points see >= 1 frame
+
+    # determinism: same input -> same features (fixed-seed encoder)
+    apply_fn2, _ = make_encoder(None, (H, W))
+    feats2 = features_for_scene(
+        scene.xyz, list(zip(colors, depths, poses)), apply_fn2, (W, H),
+        default_intrinsic(W, H), depth_max=8.0,
+    )
+    np.testing.assert_allclose(feats, feats2, atol=1e-5)
+
+    # HDF5 round trip + dataset attach
+    path = os.path.join(tmp_path, "feats.hdf5")
+    write_multiview_hdf5(path, {scene.scene_id: feats})
+    from d3net_tpu.data.dataset import MultiviewAttached
+
+    src = MultiviewAttached([scene], path)
+    loaded = src[0]
+    np.testing.assert_allclose(loaded.multiview, feats, atol=1e-6)
+    # and collate consumes them
+    from d3net_tpu.data.collate import BatchSpec, build_batch
+
+    spec = BatchSpec(max_points=8192, voxel_caps=[8192, 4096],
+                     max_instances=8, use_multiview=True, num_levels=2)
+    batch = build_batch([loaded], spec)
+    n = min(len(scene.xyz), 8192)
+    got = batch["point_feats"][0, :n, 3:]  # after normal block
+    np.testing.assert_allclose(got, feats[:n], atol=1e-6)
