@@ -74,6 +74,12 @@ class PointGroup(nn.Module):
     # GT-proposal modes 4-6: clusters come from GT instance masks
     # (ref requires_gt_mask / _generate_gt_clusters, pipeline.py:320-323)
     requires_gt_mask: bool = False
+    # activation dtype for the backbone + ScoreNet compute path
+    # ("bfloat16" halves activation HBM — the lever that fits the flagship
+    # 7-level/131k backward in 16GB).  Params, BN statistics, heads, losses
+    # and all geometry stay float32; matmuls accumulate in float32 on the
+    # MXU regardless (preferred_element_type).
+    compute_dtype: Optional[str] = None
     # optional VoteNet-style bbox regression head (ref pred_bbox path,
     # model/pointgroup.py:94-106 + decode_bbox_prediction :181-214; the
     # reference ships it disabled — crop_bbox is the production path)
@@ -211,8 +217,13 @@ class PointGroup(nn.Module):
         lin = ((cid * g + cells[0]) * g + cells[1]) * g + cells[2]
         lin = jnp.where(ok, lin, p_total * g * g * g)
 
-        feats2 = jnp.concatenate([point_feats, point_feats], axis=0)
+        # mean-accumulate in f32 even under a bf16 compute dtype (cells can
+        # hold thousands of points; bf16 running sums lose mantissa)
+        feats2 = jnp.concatenate([point_feats, point_feats], axis=0).astype(
+            jnp.float32
+        )
         grid_feats = seg.segment_mean(feats2, lin, p_total * g * g * g, mask=ok)
+        grid_feats = grid_feats.astype(point_feats.dtype)
         occ = seg.segment_count(lin, p_total * g * g * g, mask=ok) > 0
         c = point_feats.shape[-1]
         return (
@@ -251,7 +262,10 @@ class PointGroup(nn.Module):
             point_feats = jnp.concatenate([point_feats, point_xyz], axis=-1)
 
         # --- voxelize + backbone -------------------------------------
+        cd = jnp.bfloat16 if self.compute_dtype in ("bfloat16", "bf16") else None
         voxel_feats = _voxelize_feats_b(point_feats, p2v, m0cap, point_mask)
+        if cd is not None:
+            voxel_feats = voxel_feats.astype(cd)
         vfeats = self.backbone(voxel_feats, tables, train)  # (B, M0, m)
         vmask = tables[0]["mask"]
 
@@ -371,7 +385,9 @@ class PointGroup(nn.Module):
         size = take(stats["size"])
         out["proposal_slot"] = top_idx
         out["proposal_batch_mask"] = proposal_mask.astype(jnp.float32)
-        out["proposal_feats_batched"] = take(pooled) * proposal_mask[..., None]
+        out["proposal_feats_batched"] = (
+            take(pooled).astype(jnp.float32) * proposal_mask[..., None]
+        )
         out["proposal_center_batched"] = center * proposal_mask[..., None]
         out["proposal_size_batched"] = size * proposal_mask[..., None]
         out["proposal_bbox_batched"] = box_corners(center, size) * proposal_mask[

@@ -159,6 +159,7 @@ def detector_from_cfg(cfg: Config) -> PointGroup:
         score_scale=cfg.train.score_scale,
         test_score_thresh=cfg.test.TEST_SCORE_THRESH,
         test_npoint_thresh=cfg.test.TEST_NPOINT_THRESH,
+        compute_dtype=cfg.tpu.get("activation_dtype"),
     )
 
 

@@ -72,6 +72,7 @@ def detector_cfg_dict(cfg: Config) -> Dict[str, Any]:
         test_score_thresh=cfg.test.TEST_SCORE_THRESH,
         test_npoint_thresh=cfg.test.TEST_NPOINT_THRESH,
         requires_gt_mask=bool(cfg.data.get("requires_gt_mask", False)),
+        compute_dtype=cfg.tpu.get("activation_dtype"),
     )
 
 
@@ -579,10 +580,28 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
 
     rng = jax.random.key(cfg.general.manual_seed + 7)
     step = int(state.step)
+    # Device-batch caching (tpu.cache_batches): with augmentation off the
+    # scene batches are identical across epochs; keeping batch + lang tensors
+    # resident avoids re-uploading tens of MB per step over the tunneled TPU
+    # (same lever as the detector loop). Lang sampling randomness is frozen
+    # to epoch 0 when enabled.
+    cache_batches = bool(cfg.tpu.get("cache_batches", False))
+    cached_pairs = []
+    val_fns = _ValFns(model, chunk)
     for epoch in range(cfg.train.epochs):
-        for batch_np, batch_scenes in train_it:
-            lang = make_lang(batch_scenes)
-            batch = shard_batch(jax.tree.map(jnp.asarray, batch_np), mesh)
+        if cache_batches and cached_pairs:
+            src = cached_pairs
+        else:
+            src = None
+        for item in (src if src is not None else train_it):
+            if src is None:
+                batch_np, batch_scenes = item
+                lang = make_lang(batch_scenes)
+                batch = shard_batch(jax.tree.map(jnp.asarray, batch_np), mesh)
+                if cache_batches:
+                    cached_pairs.append((batch, lang))
+            else:
+                batch, lang = item
             t0 = time.time()
             if mode == 3:
                 state, metrics = step_fn(state, batch, lang, batch, lang, rng)
@@ -599,7 +618,8 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
                 break
 
         val_metrics = run_pipeline_validation(
-            cfg, model, state, val_it, vocab, emb, chunk, mesh, mode
+            cfg, model, state, val_it, vocab, emb, chunk, mesh, mode,
+            val_fns=val_fns,
         )
         logger.log(step, val_metrics, "val")
         print(f"epoch {epoch} VAL " + " ".join(
@@ -610,19 +630,34 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
     return state
 
 
+class _ValFns:
+    """Jitted validation fns with variables as ARGUMENTS — closing over the
+    epoch's variables would re-trace + re-compile every validation epoch
+    (minutes each on the tunneled backend)."""
+
+    def __init__(self, model, chunk: int):
+        self.det = jax.jit(functools.partial(
+            model.apply, train=False, method=PipelineNet.run_detector))
+        self.spk = jax.jit(functools.partial(
+            model.apply, mode="eval", method=PipelineNet.run_speaker))
+        self.lis = jax.jit(functools.partial(
+            model.apply, chunk_size=chunk, train=False, rng=None,
+            method=PipelineNet.run_listener))
+
+
 def run_pipeline_validation(cfg, model, state, val_it, vocab, emb, chunk,
-                            mesh, mode) -> Dict[str, float]:
+                            mesh, mode, val_fns: "_ValFns" = None
+                            ) -> Dict[str, float]:
     """Caption CIDEr@0.5IoU + grounding Acc@kIoU over the val split
     (ref ``validation_epoch_end`` :645-735)."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    det_fn = jax.jit(functools.partial(
-        model.apply, variables, train=False, method=PipelineNet.run_detector))
+    if val_fns is None:
+        val_fns = _ValFns(model, chunk)
+    det_fn = functools.partial(val_fns.det, variables)
     cap_eval = CaptionEvaluator(min_iou=cfg.eval.min_iou_threshold)
     grd_eval = GroundingEvaluator()
     rng_np = np.random.default_rng(0)
 
-    spk_fn = None
-    lis_fn = None
     out: Dict[str, float] = {}
     for batch_np, scenes in val_it:
         batch = shard_batch(jax.tree.map(jnp.asarray, batch_np), mesh)
@@ -635,12 +670,8 @@ def run_pipeline_validation(cfg, model, state, val_it, vocab, emb, chunk,
         lang = lang_rows(lang_np, emb)
 
         if mode in (1, 3):
-            if spk_fn is None:
-                spk_fn = jax.jit(functools.partial(
-                    model.apply, variables, mode="eval",
-                    method=PipelineNet.run_speaker))
             data = {**det_out, "glove_embeddings": jnp.asarray(emb)}
-            data = spk_fn(data)
+            data = val_fns.spk(variables, data)
             ids = np.asarray(data["lang_cap"])
             corners = np.asarray(det_out["proposal_bbox_batched"])
             mask = np.asarray(det_out["proposal_batch_mask"])
@@ -661,14 +692,9 @@ def run_pipeline_validation(cfg, model, state, val_it, vocab, emb, chunk,
                                    gt_c, gt_m, gt_desc)
 
         if mode in (2, 3):
-            if lis_fn is None:
-                lis_fn = jax.jit(functools.partial(
-                    model.apply, variables, train=False, rng=None,
-                    method=PipelineNet.run_listener),
-                    static_argnames=("chunk_size",))
             data = {**det_out, **lang}
             word_embs = lang["glove_embeddings"][lang["lang_ids"]]
-            data = lis_fn(data, word_embs, lang["lang_len"], chunk_size=chunk)
+            data = val_fns.lis(variables, data, word_embs, lang["lang_len"])
             prop_rows = np.repeat(
                 np.asarray(det_out["proposal_bbox_batched"]), chunk, axis=0)
             mask_rows = np.repeat(
