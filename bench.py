@@ -12,6 +12,11 @@ fixed dispatch/tunnel overhead.  The compiler FLOP count at v5e peak is
 reported as a *diagnostic bound only*: a measurement that beats the bound
 is reported as failed (value null + error), never substituted.
 
+The tunneled worker enforces a per-dispatch execution-time watchdog
+(~60-90s; docs/tpu_scan_fault.md) — any single XLA execution running
+longer kernel-faults the worker (recovery ~3min).  Scan lengths are
+therefore chosen to keep every timed program well under the limit.
+
 The reference publishes no throughput numbers (BASELINE.md); the driver
 gate is >=5x the CUDA reference on one v5e chip.  ``vs_baseline`` divides
 by an ASSUMED 5 scenes/sec for the reference PointGroup detector on its
@@ -120,7 +125,9 @@ def main():
     error = None
     fwd_ms = None
     try:
-        fwd_ms, t1_ms, t2_ms = timed_scan_ms(make_fwd, 2, 10)
+        # K kept small: flagship fwd is ~9s/step and the worker watchdog
+        # kills dispatches over ~60s
+        fwd_ms, t1_ms, t2_ms = timed_scan_ms(make_fwd, 2, 4)
     except Exception as e:  # noqa: BLE001 — keep the JSON line alive
         error = f"fwd timing failed: {str(e).splitlines()[0][:200]}"
         t1_ms = t2_ms = None
@@ -178,8 +185,8 @@ def main():
                    floor_points=15000, room=6.0, with_multiview=True)
         for i in range(BATCH)
     ]
-    train_batch = jax.tree.map(jnp.asarray, build_batch(tscenes, tb_spec))
     try:
+        train_batch = jax.tree.map(jnp.asarray, build_batch(tscenes, tb_spec))
         state = create_train_state(train_model, train_batch,
                                    jax.random.key(0), make_optimizer(lr=1e-3))
 
@@ -196,7 +203,7 @@ def main():
             return lambda salt: f(state, train_batch, salt)
 
         try:
-            train_ms, _, _ = timed_scan_ms(make_train, 2, 6)
+            train_ms, _, _ = timed_scan_ms(make_train, 2, 4)
             train_detail["train_path"] = "scan"
         except Exception as e:  # noqa: BLE001 — scan may fault some runtimes
             train_detail["train_scan_error"] = str(e).splitlines()[0][:160]

@@ -131,22 +131,33 @@ class PointGroup(nn.Module):
         Returns member (2, Mcap) int32 in [0, 2*clusters_per_pass) or -1,
         plus (2*clusters_per_pass,) slot mask and point counts.
 
+        Both passes (original + offset-shifted coords) run as ONE
+        grid_cluster invocation over the concatenated points with the pass
+        bit folded into the label key — two invocations in one scanned
+        program kernel-fault the axon TPU worker (docs/tpu_scan_fault.md),
+        and one concatenated sort/propagation is cheaper anyway.
+
         Grouping is non-differentiable (the reference runs CPU BFS): without
-        the stop_gradients, autodiff saves every (K, M) neighbor-search
-        intermediate and sort permutation as residuals — gigabytes of HBM.
+        the stop_gradients, autodiff saves the sort permutations and banded
+        masks as residuals — gigabytes of HBM.
         """
         vxyz = jax.lax.stop_gradient(vxyz)
         vweight = jax.lax.stop_gradient(vweight)
-        run = functools.partial(
-            grid_cluster,
+        m = vxyz.shape[1]
+        coords2 = jnp.concatenate([vxyz[0], vxyz[1]], axis=0)   # (2M, 3)
+        sem2 = jnp.concatenate([vsem, vsem + 32])               # pass bit
+        valid2 = jnp.concatenate([vvalid, vvalid])
+        root2 = grid_cluster(
+            coords2, sem2, valid2,
             cell_size=self.cluster_cell_size,
             ring=self.cluster_ring,
             num_iters=self.cluster_prop_iters,
             radius=self.cluster_radius,
         )
+        # components never span halves (pass bit differs) -> split + rebase
+        roots = (root2[:m], jnp.where(root2[m:] >= 0, root2[m:] - m, -1))
         members, masks, npts = [], [], []
-        for xyz in vxyz:  # (2, M, 3): [orig, shifted]
-            root = run(xyz, vsem, vvalid, weights=vweight)
+        for root in roots:
             member, cmask, cnp = compact_clusters(
                 root,
                 vweight,

@@ -248,6 +248,13 @@ def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
     lw = tuple(cfg.train.loss_weight[:4])
     train_step = jit_train_step(model, loss_weight=lw)
     eval_step = jit_eval_step(model)
+    # prepare_epochs (ref conf cluster.prepare_epochs): train semantic +
+    # offset heads only (no clustering/ScoreNet) for the first N epochs
+    prepare_epochs = int(cfg.cluster.get("prepare_epochs", -1) or -1)
+    if prepare_epochs > 0:
+        prep_train_step = jit_train_step(model, loss_weight=lw,
+                                         do_clustering=False)
+        prep_eval_step = jit_eval_step(model, do_clustering=False)
     rng = jax.random.key(cfg.general.manual_seed + 1)
 
     profile_at = int(cfg.get("log", {}).get("profile_step", 0) or 0) if hasattr(cfg.get("log", {}), "get") else 0
@@ -263,6 +270,9 @@ def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
     step = int(state.step)
     for epoch in range(cfg.train.epochs):
         t_epoch = time.time()
+        in_prepare = prepare_epochs > 0 and epoch < prepare_epochs
+        epoch_train_step = prep_train_step if in_prepare else train_step
+        epoch_eval_step = prep_eval_step if in_prepare else eval_step
         if cache_batches and device_batches:
             batches = device_batches
         else:
@@ -277,7 +287,7 @@ def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
             if profile_at and step == profile_at:
                 jax.profiler.start_trace(os.path.join(run_dir, "profile"))
             t0 = time.time()
-            state, metrics = train_step(state, batch, rng)
+            state, metrics = epoch_train_step(state, batch, rng)
             step += 1
             if profile_at and step == profile_at + 3:
                 jax.block_until_ready(metrics["total_loss"])
@@ -311,7 +321,7 @@ def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
                     val_batches.append(batch)
             else:
                 batch = item
-            _, losses = eval_step(state, batch)
+            _, losses = epoch_eval_step(state, batch)
             for k, v in jax.device_get(losses).items():
                 val_metrics.setdefault(k, []).append(float(v))
         val_batches_done = bool(val_batches)
