@@ -3,14 +3,19 @@
 The reference re-voxelizes every proposal into a sparse grid of fullscale 14
 and runs a small sparse U-Net over it (``model/pointgroup.py:125-178`` +
 ``score_net``).  At 14^3 = 2744 cells a cluster grid is tiny — so the grid
-is handled **dense**, and because the lattice is static, its 3^3 / stride-2
-neighbor tables are precomputed numpy constants and convolution reuses the
-same gather-matmul op (and custom transpose-table VJP) as the backbone:
-one conv implementation everywhere, no XLA conv3d on the hot path (whose
-backward kernel-faults under lax.scan on the axon TPU runtime).
+is handled **dense** and convolution is plain XLA ``conv3d`` on the MXU.
 
 Submanifold semantics are preserved by masking activations to the occupancy
 pattern after every conv (features never dilate into empty cells).
+
+Round-2 note: the first TPU version flattened all B*P grids into one
+gather-matmul sparse-conv problem over static lattice tables.  That issues
+~27 random HBM gathers per output row — ~10^8 per conv at B=4/P=256 — and
+measured ~6.8s of a 9.4s flagship forward on a v5e chip.  The dense conv3d
+version of the same U-Net measures ~0.05s forward / ~0.07s backward: on a
+static dense lattice the MXU conv path wins by >100x, so the gather-based
+machinery (kept below for the backbone-shared VJP tests) must never be on
+this path.
 """
 
 from __future__ import annotations
@@ -125,65 +130,76 @@ class GridConv(nn.Module):
         return out.reshape(p, rows_out, self.out_channels)
 
 
-class GridResBlock(nn.Module):
+def _bn(x, occ, train):
+    """MaskedBatchNorm over a (P, G, G, G, C) tensor via a (P, G^3, C) view."""
+    p = x.shape[0]
+    c = x.shape[-1]
+    flat = MaskedBatchNorm()(x.reshape(p, -1, c), occ.reshape(p, -1), train)
+    return flat.reshape(x.shape)
+
+
+def _conv(x, features, kernel, strides=1, transpose=False):
+    """3D conv in the activation dtype (params cast in, f32 MXU accumulate)."""
+    cls = nn.ConvTranspose if transpose else nn.Conv
+    k = (kernel,) * 3
+    s = (strides,) * 3
+    return cls(features, k, strides=s, dtype=x.dtype)(x)
+
+
+class DenseResBlock(nn.Module):
+    """BN-relu-conv x2 + identity, masked to the occupancy pattern."""
+
     out_channels: int
 
     @nn.compact
-    def __call__(self, x, nbr, nbr_t, occ, train: bool):
+    def __call__(self, x, occ, train: bool):
+        m = occ[..., None]
         identity = x
-        h = MaskedBatchNorm()(x, occ, train)
-        h = nn.relu(h)
-        h = GridConv(self.out_channels)(h, nbr, nbr_t) * occ[..., None]
-        h = MaskedBatchNorm()(h, occ, train)
-        h = nn.relu(h)
-        h = GridConv(self.out_channels)(h, nbr, nbr_t) * occ[..., None]
+        h = nn.relu(_bn(x, occ, train))
+        h = _conv(h, self.out_channels, 3) * m
+        h = nn.relu(_bn(h, occ, train))
+        h = _conv(h, self.out_channels, 3) * m
         if identity.shape[-1] != self.out_channels:
-            identity = GridConv(self.out_channels, kernel_volume=1)(
-                identity, nbr[:, 13:14], nbr_t[:, 13:14]
-            ) * occ[..., None]
+            identity = _conv(identity, self.out_channels, 1) * m
         return h + identity
 
 
 class GridUNet(nn.Module):
-    """Two-level U-Net over the static lattice (ref ``cluster_blocks=[1,2]``)."""
+    """Recursive dense U-Net over (P, G, G, G, C) cluster grids.
+
+    Mirrors the reference ``score_net`` UBlock (``cluster_blocks=[1,2]``,
+    ``model/pointgroup.py:88-92``): block_reps residual blocks per level,
+    stride-2 down conv, transposed up conv, skip concat.
+    """
 
     planes: Sequence[int]
-    grid: int
     block_reps: int = 2
 
     @nn.compact
     def __call__(self, x, occ, train: bool):
-        p = x.shape[0]
-        tables = flat_grid_tables(self.grid, p)
-        nbr = tables["nbr"]
-        nbr_t = tables["nbr_t"]
+        g = x.shape[1]
         for _ in range(self.block_reps):
-            x = GridResBlock(self.planes[0])(x, nbr, nbr_t, occ, train)
-        if len(self.planes) > 1 and self.grid >= 2:
-            _, down_np, _ = grid_tables(self.grid)
-            down, down_t = tables["down"], tables["down_t"]
-            up, up_t = tables["up"], tables["up_t"]
-            g2 = (self.grid + 1) // 2
-            # coarse occupancy: any of the 8 children occupied
-            occ_pad = jnp.concatenate(
-                [occ, jnp.zeros_like(occ[:, :1])], axis=1
-            )
-            occ2 = occ_pad[:, down_np.reshape(-1)].reshape(
-                occ.shape[0], g2 * g2 * g2, 8
-            ).max(-1)
-            identity = x
-            h = MaskedBatchNorm()(x, occ, train)
-            h = nn.relu(h)
-            h = GridConv(self.planes[1], kernel_volume=8)(h, down, down_t, False)
-            h = h * occ2[..., None]
-            h = GridUNet(self.planes[1:], g2, self.block_reps)(h, occ2, train)
-            h = MaskedBatchNorm()(h, occ2, train)
-            h = nn.relu(h)
-            h = GridConv(self.planes[0], kernel_volume=8)(h, up, up_t, False)
-            h = h * occ[..., None]
-            x = jnp.concatenate([identity, h], axis=-1)
+            x = DenseResBlock(self.planes[0])(x, occ, train)
+        if len(self.planes) > 1 and g >= 2:
+            if g % 2:  # odd extents pad one ghost (always-empty) cell
+                pad = [(0, 0), (0, 1), (0, 1), (0, 1), (0, 0)]
+                xp = jnp.pad(x, pad)
+                occ_p = jnp.pad(occ, pad[:-1])
+            else:
+                xp, occ_p = x, occ
+            g2 = (g + 1) // 2
+            occ2 = nn.max_pool(
+                occ_p[..., None], (2, 2, 2), strides=(2, 2, 2)
+            )[..., 0]
+            h = nn.relu(_bn(xp, occ_p, train))
+            h = _conv(h, self.planes[1], 2, strides=2) * occ2[..., None]
+            h = GridUNet(self.planes[1:], self.block_reps)(h, occ2, train)
+            h = nn.relu(_bn(h, occ2, train))
+            h = _conv(h, self.planes[0], 2, strides=2, transpose=True)
+            h = h[:, :g, :g, :g, :] * occ[..., None]
+            x = jnp.concatenate([x, h], axis=-1)
             for _ in range(self.block_reps):
-                x = GridResBlock(self.planes[0])(x, nbr, nbr_t, occ, train)
+                x = DenseResBlock(self.planes[0])(x, occ, train)
         return x
 
 
@@ -206,14 +222,11 @@ class ScoreNet(nn.Module):
         Returns (scores (P,), pooled_feats (P, planes[0])).
         """
         p, g = grids.shape[0], grids.shape[1]
-        c = grids.shape[-1]
-        flat = grids.reshape(p, g * g * g, c)
-        occ_flat = occ.reshape(p, g * g * g)
-        h = GridUNet(self.planes, g, self.block_reps)(flat, occ_flat, train)
-        h = MaskedBatchNorm()(h, occ_flat, train)
-        h = nn.relu(h)
-        m = occ_flat[..., None]
-        pooled = jnp.max(jnp.where(m > 0, h, -jnp.inf), axis=1)
+        h = GridUNet(self.planes, self.block_reps)(grids, occ, train)
+        h = nn.relu(_bn(h, occ, train))
+        m = occ.reshape(p, g * g * g)[..., None]
+        hf = h.reshape(p, g * g * g, -1)
+        pooled = jnp.max(jnp.where(m > 0, hf, -jnp.inf), axis=1)
         pooled = jnp.where(jnp.isfinite(pooled), pooled, 0.0)
-        scores = nn.Dense(1)(pooled)[:, 0]
+        scores = nn.Dense(1)(pooled.astype(jnp.float32))[:, 0]
         return scores, pooled
