@@ -48,6 +48,11 @@ def main():
     batch_stats = restored.get("batch_stats", {})
 
     os.makedirs(args.out, exist_ok=True)
+    if not any(s in params for s in ("detector", "speaker", "listener")):
+        # detector-only runs (mode 0) train a bare PointGroup: the whole
+        # tree IS the detector submodule
+        params = {"detector": params}
+        batch_stats = {"detector": batch_stats}
     for sub in ("detector", "speaker", "listener"):
         if sub not in params:
             continue

@@ -111,3 +111,41 @@ def test_weighted_counts():
     )
     assert np.asarray(mask).sum() == 1
     assert np.asarray(npoint)[0] == 70.0
+
+
+def test_pass_bit_folding_no_cross_half_merge():
+    """Dual-pass trick: labels >= 32 (pass bit) never merge with < 32.
+
+    Mirrors PointGroup._cluster folding orig/shifted passes into one
+    grid_cluster call over concatenated points (models/pointgroup.py).
+    """
+    rng = np.random.default_rng(7)
+    blob = _blob(rng, np.zeros(3), 40).astype(np.float32)
+    # identical coords in both halves; only the pass bit differs
+    coords = np.concatenate([blob, blob])
+    sem = np.concatenate([np.full(40, 5), np.full(40, 5 + 32)]).astype(np.int32)
+    valid = np.ones(80, bool)
+    root = np.asarray(
+        grid_cluster(jnp.asarray(coords), jnp.asarray(sem), jnp.asarray(valid))
+    )
+    first, second = root[:40], root[40:]
+    assert (first >= 0).all() and (second >= 0).all()
+    assert len(set(first)) == 1 and len(set(second)) == 1
+    # components never span the pass boundary
+    assert first[0] < 40 <= second[0]
+
+
+def test_morton_order_preserves_roots_as_point_indices():
+    """root[p] == p exactly at roots (compact_clusters relies on it)."""
+    rng = np.random.default_rng(8)
+    coords = np.concatenate(
+        [_blob(rng, np.zeros(3), 25), _blob(rng, np.ones(3), 25)]
+    ).astype(np.float32)
+    sem = np.full(50, 2, np.int32)
+    valid = np.ones(50, bool)
+    root = np.asarray(
+        grid_cluster(jnp.asarray(coords), jnp.asarray(sem), jnp.asarray(valid))
+    )
+    roots = set(root[root >= 0])
+    for r in roots:
+        assert root[r] == r

@@ -191,3 +191,43 @@ def test_grid_conv_gradients_match_autodiff():
     gx_n, gw_n = jax.grad(loss_naive, argnums=(0, 1))(x, w)
     np.testing.assert_allclose(np.asarray(gx_t), np.asarray(gx_n), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw_t), np.asarray(gw_n), atol=1e-4)
+
+
+def test_dense_scorenet_masks_empty_cells_and_handles_odd_grids():
+    """Dense conv3d ScoreNet: submanifold masking + odd-extent down path."""
+    import jax
+
+    from d3net_tpu.models.scorenet import ScoreNet
+
+    rng = np.random.default_rng(0)
+    for g in (7, 14):  # odd grid exercises the ghost-cell pad path
+        p, c = 4, 6
+        grids = jnp.asarray(rng.normal(size=(p, g, g, g, c)).astype(np.float32))
+        occ = jnp.asarray((rng.random((p, g, g, g)) < 0.3).astype(np.float32))
+        grids = grids * occ[..., None]
+        sn = ScoreNet(planes=(8, 16), block_reps=1)
+        vs = sn.init({"params": jax.random.key(0)}, grids, occ, False)
+        scores, pooled = sn.apply(vs, grids, occ, False)
+        assert scores.shape == (p,) and pooled.shape == (p, 8)
+        assert np.isfinite(np.asarray(scores)).all()
+        assert np.isfinite(np.asarray(pooled)).all()
+        # gradients flow and are finite
+        gr = jax.grad(lambda v: sn.apply(v, grids, occ, False)[0].sum())(vs)
+        flat = jax.tree_util.tree_leaves(gr)
+        assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+def test_dense_scorenet_empty_occupancy_is_benign():
+    """All-empty grids produce zero pooled feats and finite scores."""
+    import jax
+
+    from d3net_tpu.models.scorenet import ScoreNet
+
+    p, g, c = 2, 6, 5
+    grids = jnp.zeros((p, g, g, g, c))
+    occ = jnp.zeros((p, g, g, g))
+    sn = ScoreNet(planes=(8, 16), block_reps=1)
+    vs = sn.init({"params": jax.random.key(0)}, grids, occ, False)
+    scores, pooled = sn.apply(vs, grids, occ, False)
+    assert np.isfinite(np.asarray(scores)).all()
+    assert (np.asarray(pooled) == 0).all()
