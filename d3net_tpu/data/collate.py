@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from d3net_tpu.data.synthetic import Scene
-from d3net_tpu.ops.voxelize import build_unet_maps, voxelize
+from d3net_tpu.ops.voxelize import build_block_maps, build_unet_maps, voxelize
 
 
 @dataclass
@@ -34,6 +34,12 @@ class BatchSpec:
     use_multiview: bool = True
     multiview_dim: int = 128
     num_levels: int = 7
+    # "gather": per-voxel 27-neighbor tables + gather-matmul conv.
+    # "block":  8^3 block-dense tables + conv3d (docs/perf_notes.md) —
+    #           ~10x cheaper host collate AND removes the device gather
+    #           bottleneck.
+    conv_impl: str = "gather"
+    block_caps: Sequence[int] = ()      # per-level block capacities
 
     def feat_dim(self) -> int:
         return (
@@ -51,6 +57,13 @@ class BatchSpec:
             caps.append(max(1024, c))
             c = c // 2
         return caps
+
+    def nb_caps(self) -> List[int]:
+        if self.block_caps:
+            return list(self.block_caps)
+        # ScanNet-statistics surfaces run ~30-90 voxels per occupied 8^3
+        # block (measured, docs/perf_notes.md); cap//20 leaves >1.5x margin
+        return [max(64, c // 20) for c in self.caps()]
 
 
 def scene_features(scene: Scene, spec: BatchSpec) -> np.ndarray:
@@ -128,9 +141,17 @@ def build_batch(scenes: List[Scene], spec: BatchSpec) -> Dict[str, np.ndarray]:
     np_cap = spec.max_points
     b = len(scenes)
 
+    block_mode = spec.conv_impl == "block"
+    nb_caps = spec.nb_caps() if block_mode else []
+
     out: Dict[str, np.ndarray] = {}
+    keys = (
+        ["vox2cell", "block_nbr", "mask", "block_child", "block_parent",
+         "block_quad"]
+        if block_mode else ["nbr", "mask", "down", "up"]
+    )
     per_level: List[Dict[str, List[np.ndarray]]] = [
-        {"nbr": [], "mask": [], "down": [], "up": []} for _ in caps
+        {k: [] for k in keys} for _ in caps
     ]
 
     def zeros(shape, dtype=np.float32):
@@ -158,7 +179,11 @@ def build_batch(scenes: List[Scene], spec: BatchSpec) -> Dict[str, np.ndarray]:
         vc, p2v, _counts = voxelize(coords_int)
         # truncate voxels beyond cap; orphaned points -> INVALID
         p2v = np.where(p2v >= caps[0], caps[0], p2v).astype(np.int32)
-        levels = build_unet_maps(vc, caps)
+        if block_mode:
+            levels, blocks = build_block_maps(vc, caps, nb_caps)
+        else:
+            levels = build_unet_maps(vc, caps)
+            blocks = None
 
         out["point_xyz"][s_i, :n] = xyz
         write_scene_features(scene, spec, out["point_feats"][s_i], n)
@@ -180,23 +205,26 @@ def build_batch(scenes: List[Scene], spec: BatchSpec) -> Dict[str, np.ndarray]:
         out["gt_box_mask"][s_i] = mask
 
         for li, lv in enumerate(levels):
-            per_level[li]["nbr"].append(lv.nbr)
             lvl_mask = np.zeros(caps[li], np.float32)
             lvl_mask[: lv.num_voxels] = 1.0
             per_level[li]["mask"].append(lvl_mask)
-            if lv.down is not None:
-                per_level[li]["down"].append(lv.down)
-                per_level[li]["up"].append(lv.up)
+            if block_mode:
+                bm = blocks[li]
+                per_level[li]["vox2cell"].append(bm.vox2cell)
+                per_level[li]["block_nbr"].append(bm.block_nbr)
+                if bm.block_child is not None:
+                    per_level[li]["block_child"].append(bm.block_child)
+                    per_level[li]["block_parent"].append(bm.block_parent)
+                    per_level[li]["block_quad"].append(bm.block_quad)
+            else:
+                per_level[li]["nbr"].append(lv.nbr)
+                if lv.down is not None:
+                    per_level[li]["down"].append(lv.down)
+                    per_level[li]["up"].append(lv.up)
 
     tables = []
     for li in range(len(caps)):
-        t = {
-            "nbr": np.stack(per_level[li]["nbr"]),
-            "mask": np.stack(per_level[li]["mask"]),
-        }
-        if per_level[li]["down"]:
-            t["down"] = np.stack(per_level[li]["down"])
-            t["up"] = np.stack(per_level[li]["up"])
+        t = {k: np.stack(v) for k, v in per_level[li].items() if v}
         tables.append(t)
     out["tables"] = tables
     return out

@@ -18,16 +18,43 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from d3net_tpu.ops import block_conv as bc
 from d3net_tpu.ops.sparse_conv import sparse_conv_t
 
-# Per-level table dict keys (batched, static shapes):
+# Per-level table dict keys (batched, static shapes), gather mode:
 #   nbr  (B, M_l, 27)   submanifold table, INVALID = M_l cap
 #   mask (B, M_l)       active-voxel mask (float or bool)
 #   down (B, M_{l+1}, 8) stride-2 conv table into level l      (absent on last)
 #   up   (B, M_l, 8)     transposed-conv table into level l+1  (absent on last)
+# Block-dense mode (spec.conv_impl == "block", docs/perf_notes.md) instead:
+#   vox2cell (B, M_l)        voxel -> block*512+cell, INVALID = nbcap*512
+#   block_nbr (B, NB_l, 27)  block neighbor table, INVALID = NB_l cap
+#   mask (B, M_l)            as above
+#   block_child (B, NB_{l+1}, 8) / block_parent (B, NB_l) /
+#   block_quad (B, NB_l)     stride-2 pair tables (absent on last level)
+# Features flow as (B, NB+1, 512, C) block-dense tensors between convs;
+# module/param structure is IDENTICAL across modes (weights interchange).
 LevelTables = Dict[str, Any]
 
 _batched_conv = jax.vmap(sparse_conv_t, in_axes=(0, 0, 0, None, None))
+
+
+def block_occ(t: LevelTables):
+    """(B, NB+1, 512) occupancy for a block-mode level table."""
+    nbcap = t["block_nbr"].shape[1]
+    return jax.vmap(bc.block_occupancy, in_axes=(0, 0, None))(
+        t["vox2cell"], t["mask"].astype(bool), nbcap
+    )
+
+
+def _bn_any(bn: "MaskedBatchNorm", x, mask, train: bool):
+    """Apply a MaskedBatchNorm to row (B,M,C) or block (B,NB+1,512,C) feats."""
+    if x.ndim == 4:
+        b = x.shape[0]
+        c = x.shape[-1]
+        flat = bn(x.reshape(b, -1, c), mask.reshape(b, -1), train)
+        return flat.reshape(x.shape)
+    return bn(x, mask, train)
 
 
 class MaskedBatchNorm(nn.Module):
@@ -80,13 +107,31 @@ class SubmConv(nn.Module):
     kernel_volume: int = 27
 
     @nn.compact
-    def __call__(self, feats, nbr, nbr_t=None, flip_t: bool = True):
+    def __call__(self, feats, nbr, nbr_t=None, flip_t: bool = True, occ=None):
         cin = feats.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
             (self.kernel_volume, cin, self.out_channels),
         )
+        if feats.ndim == 4:  # block-dense (B, NB+1, 512, C)
+            if self.kernel_volume == 27:
+                return jax.vmap(bc.subm_conv, in_axes=(0, 0, 0, None))(
+                    feats, occ, nbr, w
+                )
+            if self.kernel_volume == 8:
+                if isinstance(nbr, tuple):  # transposed: (parent, quad)
+                    return jax.vmap(bc.up_conv, in_axes=(0, 0, 0, 0, None))(
+                        feats, nbr[0], nbr[1], occ, w
+                    )
+                return jax.vmap(bc.down_conv, in_axes=(0, 0, 0, None))(
+                    feats, nbr, occ, w
+                )
+            if self.kernel_volume == 1:
+                return jax.vmap(bc.one_by_one, in_axes=(0, 0, None))(
+                    feats, occ, w
+                )
+            raise ValueError(f"kernel_volume {self.kernel_volume}")
         if nbr_t is None:
             nbr_t = nbr
         return _batched_conv(feats, nbr, nbr_t, w, flip_t)
@@ -99,16 +144,20 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, nbr, mask, train: bool):
+        block = x.ndim == 4
+        occ = mask if block else None
         identity = x
-        h = MaskedBatchNorm()(x, mask, train)
+        h = _bn_any(MaskedBatchNorm(), x, mask, train)
         h = nn.relu(h)
-        h = SubmConv(self.out_channels)(h, nbr)
-        h = MaskedBatchNorm()(h, mask, train)
+        h = SubmConv(self.out_channels)(h, nbr, occ=occ)
+        h = _bn_any(MaskedBatchNorm(), h, mask, train)
         h = nn.relu(h)
-        h = SubmConv(self.out_channels)(h, nbr)
+        h = SubmConv(self.out_channels)(h, nbr, occ=occ)
         if identity.shape[-1] != self.out_channels:
             identity = SubmConv(self.out_channels, kernel_volume=1)(
-                identity, nbr[..., 13:14]  # center offset of the 3^3 table
+                identity,
+                None if block else nbr[..., 13:14],  # center of the 3^3 table
+                occ=occ,
             )
         return h + identity
 
@@ -118,9 +167,11 @@ class VGGBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, nbr, mask, train: bool):
-        h = MaskedBatchNorm()(x, mask, train)
+        h = _bn_any(MaskedBatchNorm(), x, mask, train)
         h = nn.relu(h)
-        return SubmConv(self.out_channels)(h, nbr)
+        return SubmConv(self.out_channels)(
+            h, nbr, occ=mask if x.ndim == 4 else None
+        )
 
 
 class UBlock(nn.Module):
@@ -143,25 +194,39 @@ class UBlock(nn.Module):
             # OOMs at 10^5 voxels. Recompute blocks in the backward pass.
             block = nn.remat(block, static_argnums=(4,))
         t0 = tables[0]
+        bm = "block_nbr" in t0
+        nbr0 = t0["block_nbr"] if bm else t0["nbr"]
+        mask0 = block_occ(t0) if bm else t0["mask"]
         for _ in range(self.block_reps):
-            x = block(self.planes[0])(x, t0["nbr"], t0["mask"], train)
+            x = block(self.planes[0])(x, nbr0, mask0, train)
 
         if len(self.planes) > 1:
+            t1 = tables[1]
+            mask1 = block_occ(t1) if bm else t1["mask"]
             identity = x
-            h = MaskedBatchNorm()(x, t0["mask"], train)
+            h = _bn_any(MaskedBatchNorm(), x, mask0, train)
             h = nn.relu(h)
-            h = SubmConv(self.planes[1], kernel_volume=8)(
-                h, t0["down"], t0["up"], False
-            )
+            if bm:
+                h = SubmConv(self.planes[1], kernel_volume=8)(
+                    h, t0["block_child"], occ=mask1
+                )
+            else:
+                h = SubmConv(self.planes[1], kernel_volume=8)(
+                    h, t0["down"], t0["up"], False
+                )
             h = UBlock(self.planes[1:], self.block_reps, self.residual,
                        self.remat)(h, tables[1:], train)
-            t1 = tables[1]
-            h = MaskedBatchNorm()(h, t1["mask"], train)
+            h = _bn_any(MaskedBatchNorm(), h, mask1, train)
             h = nn.relu(h)
-            h = SubmConv(self.planes[0], kernel_volume=8)(
-                h, t0["up"], t0["down"], False
-            )
+            if bm:
+                h = SubmConv(self.planes[0], kernel_volume=8)(
+                    h, (t0["block_parent"], t0["block_quad"]), occ=mask0
+                )
+            else:
+                h = SubmConv(self.planes[0], kernel_volume=8)(
+                    h, t0["up"], t0["down"], False
+                )
             x = jnp.concatenate([identity, h], axis=-1)
             for i in range(self.block_reps):
-                x = block(self.planes[0])(x, t0["nbr"], t0["mask"], train)
+                x = block(self.planes[0])(x, nbr0, mask0, train)
         return x

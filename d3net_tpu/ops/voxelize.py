@@ -227,3 +227,136 @@ def build_unet_maps(coords: np.ndarray, caps: List[int], kernel_size: int = 3):
             lv.up = _pad_rows(up, cap, next_cap)
             cur = coarse
     return levels
+
+
+# ---------------------------------------------------------------------------
+# Block-dense sparse conv tables (round-2 backbone redesign)
+# ---------------------------------------------------------------------------
+
+BLOCK = 8           # spatial block edge; 512 cells per block
+BLOCK_CELLS = BLOCK ** 3
+
+
+@dataclass
+class BlockMaps:
+    """Static-shape block-dense tables for one U-Net level (one scene).
+
+    The gather-matmul conv's ~27 random HBM row-gathers per voxel are
+    latency-bound on TPU (docs/perf_notes.md).  Block-dense layout instead
+    scatters voxels into dense 8^3 spatial blocks once per level and runs
+    plain XLA conv3d over haloed (10^3 / 16^3) block tiles — all random
+    access happens at whole-block granularity (bandwidth-bound) and the
+    conv itself rides the MXU.  Host cost also drops ~an order of
+    magnitude: neighbor lookups are per *block*, not per voxel.
+    """
+
+    num_blocks: int
+    vox2cell: np.ndarray            # (cap,) int32 block*512+local; INVALID = nbcap*512
+    block_nbr: np.ndarray           # (nbcap, 27) int32; INVALID = nbcap
+    block_child: Optional[np.ndarray] = None   # (nbcap_next, 8) fine block ids; INVALID = nbcap
+    block_parent: Optional[np.ndarray] = None  # (nbcap,) coarse block id; INVALID = nbcap_next
+    block_quad: Optional[np.ndarray] = None    # (nbcap,) in [0, 8)
+
+
+def _block_list(coords: np.ndarray, nbcap: int):
+    """Unique block coords (truncated to nbcap) + per-voxel block index.
+
+    Returns (block_coords (nb, 3) int64, vox_block (M,) int32 with INVALID
+    = nbcap for voxels whose block fell past the cap, nb).
+    """
+    bc = np.floor_divide(coords.astype(np.int64), BLOCK)
+    keys = pack_keys(bc)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    nb = min(len(uniq), nbcap)
+    # unique() sorts keys; truncation keeps the lexicographically first nb
+    vox_block = np.where(inv < nb, inv, nbcap).astype(np.int32)
+    # recover block coords from the first occurrence of each key
+    order = np.argsort(keys, kind="stable")
+    first = order[np.searchsorted(keys[order], uniq[:nb], side="left")]
+    return bc[first], vox_block, nb
+
+
+def build_block_maps(coords: np.ndarray, caps: List[int], nb_caps: List[int]):
+    """Block-dense tables for every U-Net level of one scene.
+
+    Args:
+        coords: (M0, 3) int voxel coords at the finest level.
+        caps: per-level voxel capacities (same contract as build_unet_maps).
+        nb_caps: per-level block capacities.
+
+    Returns (levels: List[LevelMaps] with nbr left empty, blocks:
+    List[BlockMaps]).  Level voxel lists/truncation match build_unet_maps
+    exactly (same downsample_level), so p2v and loss supervision are
+    unchanged.
+    """
+    levels: List[LevelMaps] = []
+    blocks: List[BlockMaps] = []
+    cur = coords
+    prev_bcoords = None
+    for li, (cap, nbcap) in enumerate(zip(caps, nb_caps)):
+        m = min(len(cur), cap)
+        cur = cur[:m]
+        bcoords, vox_block, nb = _block_list(cur, nbcap)
+        local = np.mod(cur.astype(np.int64), BLOCK)
+        cell = (local[:, 0] * BLOCK + local[:, 1]) * BLOCK + local[:, 2]
+        vox2cell = np.where(
+            vox_block < nbcap,
+            vox_block.astype(np.int64) * BLOCK_CELLS + cell,
+            nbcap * BLOCK_CELLS,
+        ).astype(np.int32)
+
+        bkeys = pack_keys(bcoords)
+        border = np.argsort(bkeys, kind="stable")
+        sk, so = bkeys[border], border
+        offs = _offsets(3)
+        bb = bcoords + _KEY_BIAS
+        block_nbr = np.empty((nb, 27), dtype=np.int32)
+        for k, o in enumerate(offs):
+            q = ((bb[:, 0] + o[0]) * _KEY_BOUND + (bb[:, 1] + o[1])) * _KEY_BOUND + (bb[:, 2] + o[2])
+            block_nbr[:, k] = _lookup(sk, so, q, nbcap)
+
+        bm = BlockMaps(
+            num_blocks=nb,
+            vox2cell=_pad_rows(vox2cell, cap, nbcap * BLOCK_CELLS),
+            block_nbr=_pad_rows(block_nbr, nbcap, nbcap),
+        )
+        lv = LevelMaps(
+            num_voxels=m,
+            coords=_pad_rows(cur.astype(np.int32), cap, 0),
+            nbr=np.zeros((0, 0), np.int32),  # unused in block mode
+        )
+
+        if prev_bcoords is not None:
+            # this level's blocks are the coarse side of the (li-1, li) pair:
+            # child fine blocks at 2*bc + {0,1}^3; fine block parent = bc>>1
+            fk = pack_keys(prev_bcoords)
+            forder = np.argsort(fk, kind="stable")
+            fsk, fso = fk[forder], forder
+            offs2 = _offsets(2)
+            base = bcoords * 2 + _KEY_BIAS
+            prev_nbcap = nb_caps[li - 1]
+            child = np.empty((nb, 8), dtype=np.int32)
+            for k, o in enumerate(offs2):
+                q = ((base[:, 0] + o[0]) * _KEY_BOUND + (base[:, 1] + o[1])) * _KEY_BOUND + (base[:, 2] + o[2])
+                child[:, k] = _lookup(fsk, fso, q, prev_nbcap)
+            blocks[-1].block_child = _pad_rows(child, nbcap, prev_nbcap)
+
+            pc = np.floor_divide(prev_bcoords, 2) + _KEY_BIAS
+            q = (pc[:, 0] * _KEY_BOUND + pc[:, 1]) * _KEY_BOUND + pc[:, 2]
+            parent = _lookup(sk, so, q, nbcap)
+            quad = (
+                np.mod(prev_bcoords[:, 0], 2) * 4
+                + np.mod(prev_bcoords[:, 1], 2) * 2
+                + np.mod(prev_bcoords[:, 2], 2)
+            ).astype(np.int32)
+            blocks[-1].block_parent = _pad_rows(parent, prev_nbcap, nbcap)
+            blocks[-1].block_quad = _pad_rows(quad, prev_nbcap, 0)
+
+        levels.append(lv)
+        blocks.append(bm)
+        prev_bcoords = bcoords
+
+        if li + 1 < len(caps):
+            coarse, _ = downsample_level(cur)
+            cur = coarse
+    return levels, blocks

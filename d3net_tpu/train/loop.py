@@ -175,6 +175,8 @@ def spec_from_cfg(cfg: Config) -> BatchSpec:
         use_normal=cfg.model.use_normal,
         use_multiview=cfg.model.use_multiview,
         num_levels=len(cfg.model.blocks),
+        conv_impl=cfg.tpu.get("conv_impl", "gather") or "gather",
+        block_caps=list(cfg.tpu.get("block_caps") or ()),
     )
 
 
