@@ -56,7 +56,7 @@ def _setup(cfg, run_dir):
     )
     state = replicate(state, mesh)
     ckpt = Checkpointer(run_dir, "loss", "min")
-    restored = ckpt.restore_last(state)
+    restored = ckpt.restore_weights(state)
     if restored is None:
         print("WARNING: no checkpoint found, evaluating random weights")
     else:

@@ -71,6 +71,25 @@ def _halo_ranges(o: int):
     return 1 + BLOCK, 2 + BLOCK, 0, 1
 
 
+@functools.lru_cache(maxsize=None)
+def _face_cells(ox: int, oy: int, oz: int) -> np.ndarray:
+    """Static linear cell ids a neighbor at offset (ox,oy,oz) contributes.
+
+    Only the facing plane/edge/corner of a neighbor block enters the halo
+    (64/8/1 cells); pre-slicing before the block gather cuts the random HBM
+    traffic ~27x vs gathering whole 512-cell blocks.
+    """
+    axes = []
+    for o in (ox, oy, oz):
+        _, _, s0, s1 = _halo_ranges(o)
+        axes.append(list(range(s0, s1)))
+    return np.asarray(
+        [(x * BLOCK + y) * BLOCK + z
+         for x in axes[0] for y in axes[1] for z in axes[2]],
+        np.int32,
+    )
+
+
 def _conv3d(x, w, strides):
     """NDHWC conv, VALID, f32 accumulation, output in x.dtype."""
     out = jax.lax.conv_general_dilated(
@@ -95,16 +114,21 @@ def subm_conv(dense, occ, block_nbr, w):
     halo = jnp.zeros((nbcap, BLOCK + 2, BLOCK + 2, BLOCK + 2, cin),
                      dense.dtype)
     for k, (ox, oy, oz) in enumerate(_OFFS3):
-        if (ox, oy, oz) == (0, 0, 0):
-            src = d[:nbcap]
-        else:
-            src = d[block_nbr[:, k]]
         dx0, dx1, sx0, sx1 = _halo_ranges(ox)
         dy0, dy1, sy0, sy1 = _halo_ranges(oy)
         dz0, dz1, sz0, sz1 = _halo_ranges(oz)
-        halo = halo.at[:, dx0:dx1, dy0:dy1, dz0:dz1].set(
-            src[:, sx0:sx1, sy0:sy1, sz0:sz1]
-        )
+        if (ox, oy, oz) == (0, 0, 0):
+            src = d[:nbcap, sx0:sx1, sy0:sy1, sz0:sz1]
+        else:
+            # pre-slice the facing cells, then gather: the random HBM
+            # access moves only the face/edge/corner (64/8/1 cells), not
+            # whole 512-cell blocks
+            cells = jnp.asarray(_face_cells(ox, oy, oz))
+            pre = dense[:, cells, :]                 # (NB+1, n_k, C)
+            src = pre[block_nbr[:, k]].reshape(
+                nbcap, dx1 - dx0, dy1 - dy0, dz1 - dz0, cin
+            )
+        halo = halo.at[:, dx0:dx1, dy0:dy1, dz0:dz1].set(src)
     out = _conv3d(halo, w.reshape(3, 3, 3, cin, cout), (1, 1, 1))
     out = out.reshape(nbcap, BLOCK_CELLS, cout) * occ[:nbcap][..., None]
     return jnp.concatenate(

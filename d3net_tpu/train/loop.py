@@ -138,6 +138,27 @@ class Checkpointer:
     def restore_best(self, state: TrainState) -> Optional[TrainState]:
         return self._restore(self.best_mgr, state)
 
+    def restore_weights(self, state: TrainState,
+                        prefer_best: bool = True) -> Optional[TrainState]:
+        """Params/batch_stats-only restore for eval paths.
+
+        Raw (template-free) orbax restore, so it works whatever optimizer
+        the run used (e.g. frozen-submodule ``multi_transform`` opt_states
+        don't match a plain optimizer's tree and fail a structured restore).
+        """
+        mgrs = [self.best_mgr, self.mgr] if prefer_best else [self.mgr]
+        for mgr in mgrs:
+            step = mgr.latest_step()
+            if step is None:
+                continue
+            raw = mgr.restore(step)
+            return state.replace(
+                params=raw["params"],
+                batch_stats=raw.get("batch_stats", {}),
+                step=raw["step"],
+            )
+        return None
+
 
 def detector_from_cfg(cfg: Config) -> PointGroup:
     return PointGroup(

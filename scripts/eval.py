@@ -49,9 +49,7 @@ def eval_detection(cfg, run_dir):
     state = create_train_state(model, first, jax.random.key(0), tx)
     state = replicate(state, mesh)
     ckpt = Checkpointer(run_dir, "total_loss", "min")
-    restored = ckpt.restore_best(state)
-    if restored is None:
-        restored = ckpt.restore_last(state)
+    restored = ckpt.restore_weights(state)
     if restored is None:
         print("WARNING: no checkpoint found, evaluating random weights")
     else:
