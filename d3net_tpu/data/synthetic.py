@@ -30,13 +30,38 @@ class Scene:
 
 
 def _box_surface(rng, center, size, n):
-    """Sample n points on the surface of an axis-aligned box."""
+    """Sample n points (+ outward normals) on an axis-aligned box surface."""
     face = rng.integers(0, 6, n)
     u = rng.uniform(-0.5, 0.5, (n, 3))
     axis = face // 2
     side = (face % 2).astype(np.float64) - 0.5
     u[np.arange(n), axis] = side
-    return center + u * size
+    normals = np.zeros((n, 3))
+    normals[np.arange(n), axis] = np.sign(side)
+    return center + u * size, normals
+
+
+def _class_shape_table(num_classes: int, size_range) -> np.ndarray:
+    """Deterministic per-class base box sizes.
+
+    Instance classes must be *inferable from geometry* or class-aware
+    detection mAP has an entropy ceiling (a random class label cannot be
+    predicted; semantic CE then floors at ~ln(num_classes-2) and per-class
+    AP stays ~0 no matter how long the detector trains).  Each class gets a
+    distinct fixed (sx, sy, sz) spread over size_range with varied aspect
+    ratios — mimicking how real ScanNet categories (chair vs table vs bed)
+    are largely separable by extent.
+    """
+    lo, hi = size_range
+    table = np.zeros((num_classes, 3))
+    tr = np.random.default_rng(12345)
+    for k in range(2, num_classes):
+        # stratified scale + random-but-fixed aspect
+        frac = (k - 2 + 0.5) / max(1, num_classes - 2)
+        scale = lo + frac * (hi - lo)
+        aspect = tr.uniform(0.5, 1.6, 3)
+        table[k] = scale * aspect / aspect.prod() ** (1 / 3)
+    return np.clip(table, lo * 0.6, hi * 1.4)
 
 
 def make_scene(
@@ -54,11 +79,13 @@ def make_scene(
     """``density`` (points/m^2 of box surface) overrides points_per_instance;
     ScanNet's ~2cm sampling corresponds to density ~2500-4000."""
     rng = np.random.default_rng(seed)
-    pts, sems, insts = [], [], []
+    shape_table = _class_shape_table(num_classes, size_range)
+    pts, sems, insts, nrms = [], [], [], []
     bboxes = []
     for i in range(num_instances):
         cls = int(rng.integers(2, num_classes))  # 0/1 = wall/floor
-        size = rng.uniform(size_range[0], size_range[1], 3)
+        # class-conditioned shape (geometry-predictable class) + jitter
+        size = shape_table[cls] * rng.uniform(0.85, 1.15, 3)
         center = np.array(
             [rng.uniform(1, room - 1), rng.uniform(1, room - 1), size[2] / 2]
         )
@@ -68,9 +95,10 @@ def make_scene(
             n_pts = max(100, int(area * density))
         else:
             n_pts = points_per_instance
-        p = _box_surface(rng, center, size, n_pts)
+        p, pn = _box_surface(rng, center, size, n_pts)
         p += rng.normal(scale=noise, size=p.shape)
         pts.append(p)
+        nrms.append(pn)
         sems.append(np.full(len(p), cls))
         insts.append(np.full(len(p), i))
         bboxes.append([*center, *size, cls, i])
@@ -82,6 +110,7 @@ def make_scene(
         ]
     )
     pts.append(floor)
+    nrms.append(np.tile([0.0, 0.0, 1.0], (floor_points, 1)))
     sems.append(np.ones(floor_points))  # class 1 = floor
     insts.append(np.full(floor_points, -1))
 
@@ -90,7 +119,10 @@ def make_scene(
     inst = np.concatenate(insts).astype(np.int32)
     n = len(xyz)
     rgb = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
-    normal = rng.normal(size=(n, 3)).astype(np.float32)
+    # true surface normals + small noise (the round-1 generator emitted
+    # random unit vectors — pure noise in the 'use_normal' feature channel)
+    normal = np.concatenate(nrms).astype(np.float32)
+    normal += rng.normal(scale=0.05, size=normal.shape).astype(np.float32)
     normal /= np.linalg.norm(normal, axis=1, keepdims=True) + 1e-8
     mv = rng.normal(size=(n, 128)).astype(np.float32) if with_multiview else None
     return Scene(
