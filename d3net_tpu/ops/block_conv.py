@@ -100,6 +100,22 @@ def _conv3d(x, w, strides):
     return out.astype(x.dtype)
 
 
+# Blocks processed per sequential chunk of the subm/down/up convs.  A
+# flagship level-0 halo at full width is (6554, 10^3, C) — multiplied by
+# B under vmap that alone OOMs 16GB HBM at compile; chunking bounds every
+# transient to ~chunk * 10^3 * C while the face pre-slices (computed once
+# per conv) stay whole.
+_BCHUNK = 512
+
+
+def _pad_rows_to(a, mult, fill):
+    pad = (-a.shape[0]) % mult
+    if pad == 0:
+        return a, 0
+    filler = jnp.full((pad,) + a.shape[1:], fill, a.dtype)
+    return jnp.concatenate([a, filler], axis=0), pad
+
+
 def subm_conv(dense, occ, block_nbr, w):
     """Submanifold 3^3 conv: (NB+1, 512, Cin) -> (NB+1, 512, Cout).
 
@@ -111,26 +127,50 @@ def subm_conv(dense, occ, block_nbr, w):
     cin = dense.shape[-1]
     cout = w.shape[-1]
     d = dense.reshape(nbcap + 1, BLOCK, BLOCK, BLOCK, cin)
-    halo = jnp.zeros((nbcap, BLOCK + 2, BLOCK + 2, BLOCK + 2, cin),
-                     dense.dtype)
+    # face pre-slices once per conv: the random HBM access then moves only
+    # the facing plane/edge/corner (64/8/1 cells), not whole 512-cell blocks
+    faces = []
     for k, (ox, oy, oz) in enumerate(_OFFS3):
-        dx0, dx1, sx0, sx1 = _halo_ranges(ox)
-        dy0, dy1, sy0, sy1 = _halo_ranges(oy)
-        dz0, dz1, sz0, sz1 = _halo_ranges(oz)
         if (ox, oy, oz) == (0, 0, 0):
-            src = d[:nbcap, sx0:sx1, sy0:sy1, sz0:sz1]
+            faces.append(None)
         else:
-            # pre-slice the facing cells, then gather: the random HBM
-            # access moves only the face/edge/corner (64/8/1 cells), not
-            # whole 512-cell blocks
             cells = jnp.asarray(_face_cells(ox, oy, oz))
-            pre = dense[:, cells, :]                 # (NB+1, n_k, C)
-            src = pre[block_nbr[:, k]].reshape(
-                nbcap, dx1 - dx0, dy1 - dy0, dz1 - dz0, cin
-            )
-        halo = halo.at[:, dx0:dx1, dy0:dy1, dz0:dz1].set(src)
-    out = _conv3d(halo, w.reshape(3, 3, 3, cin, cout), (1, 1, 1))
-    out = out.reshape(nbcap, BLOCK_CELLS, cout) * occ[:nbcap][..., None]
+            faces.append(dense[:, cells, :])         # (NB+1, n_k, C)
+    wk = w.reshape(3, 3, 3, cin, cout)
+
+    def chunk_fn(args):
+        nbr_c, d_c, occ_c = args                     # (CH,27), (CH,8^3...), (CH,512)
+        ch = nbr_c.shape[0]
+        halo = jnp.zeros((ch, BLOCK + 2, BLOCK + 2, BLOCK + 2, cin),
+                         dense.dtype)
+        for k, (ox, oy, oz) in enumerate(_OFFS3):
+            dx0, dx1, sx0, sx1 = _halo_ranges(ox)
+            dy0, dy1, sy0, sy1 = _halo_ranges(oy)
+            dz0, dz1, sz0, sz1 = _halo_ranges(oz)
+            if (ox, oy, oz) == (0, 0, 0):
+                src = d_c[:, sx0:sx1, sy0:sy1, sz0:sz1]
+            else:
+                src = faces[k][nbr_c[:, k]].reshape(
+                    ch, dx1 - dx0, dy1 - dy0, dz1 - dz0, cin
+                )
+            halo = halo.at[:, dx0:dx1, dy0:dy1, dz0:dz1].set(src)
+        out = _conv3d(halo, wk, (1, 1, 1))
+        return out.reshape(ch, BLOCK_CELLS, cout) * occ_c[..., None]
+
+    nbr_p, pad = _pad_rows_to(block_nbr, _BCHUNK, nbcap)
+    d_p, _ = _pad_rows_to(d[:nbcap], _BCHUNK, 0)
+    occ_p, _ = _pad_rows_to(occ[:nbcap], _BCHUNK, 0)
+    n_chunks = nbr_p.shape[0] // _BCHUNK
+
+    def reshape_c(a):
+        return a.reshape((n_chunks, _BCHUNK) + a.shape[1:])
+
+    # remat per chunk: the backward of a plain lax.map saves every chunk's
+    # conv residuals (the full halo again) — recompute them instead
+    out = jax.lax.map(
+        jax.checkpoint(chunk_fn),
+        (reshape_c(nbr_p), reshape_c(d_p), reshape_c(occ_p))
+    ).reshape(nbcap + pad, BLOCK_CELLS, cout)[:nbcap]
     return jnp.concatenate(
         [out, jnp.zeros((1, BLOCK_CELLS, cout), out.dtype)], axis=0
     )
@@ -147,15 +187,29 @@ def down_conv(dense_f, block_child, occ_c, w):
     cin = dense_f.shape[-1]
     cout = w.shape[-1]
     d = dense_f.reshape(nbf + 1, BLOCK, BLOCK, BLOCK, cin)
-    vol = jnp.zeros((nbc, 2 * BLOCK, 2 * BLOCK, 2 * BLOCK, cin),
-                    dense_f.dtype)
-    for k, (ox, oy, oz) in enumerate(_OFFS2):
-        vol = vol.at[
-            :, ox * BLOCK:(ox + 1) * BLOCK, oy * BLOCK:(oy + 1) * BLOCK,
-            oz * BLOCK:(oz + 1) * BLOCK,
-        ].set(d[block_child[:, k]])
-    out = _conv3d(vol, w.reshape(2, 2, 2, cin, cout), (2, 2, 2))
-    out = out.reshape(nbc, BLOCK_CELLS, cout) * occ_c[:nbc][..., None]
+    wk = w.reshape(2, 2, 2, cin, cout)
+
+    def chunk_fn(args):
+        child_c, occ_cc = args
+        ch = child_c.shape[0]
+        vol = jnp.zeros((ch, 2 * BLOCK, 2 * BLOCK, 2 * BLOCK, cin),
+                        dense_f.dtype)
+        for k, (ox, oy, oz) in enumerate(_OFFS2):
+            vol = vol.at[
+                :, ox * BLOCK:(ox + 1) * BLOCK, oy * BLOCK:(oy + 1) * BLOCK,
+                oz * BLOCK:(oz + 1) * BLOCK,
+            ].set(d[child_c[:, k]])
+        out = _conv3d(vol, wk, (2, 2, 2))
+        return out.reshape(ch, BLOCK_CELLS, cout) * occ_cc[..., None]
+
+    child_p, pad = _pad_rows_to(block_child, _BCHUNK, nbf)
+    occ_p, _ = _pad_rows_to(occ_c[:nbc], _BCHUNK, 0)
+    n_chunks = child_p.shape[0] // _BCHUNK
+    out = jax.lax.map(
+        jax.checkpoint(chunk_fn),
+        (child_p.reshape(n_chunks, _BCHUNK, 8),
+         occ_p.reshape(n_chunks, _BCHUNK, BLOCK_CELLS)),
+    ).reshape(nbc + pad, BLOCK_CELLS, cout)[:nbc]
     return jnp.concatenate(
         [out, jnp.zeros((1, BLOCK_CELLS, cout), out.dtype)], axis=0
     )
@@ -190,19 +244,36 @@ def up_conv(dense_c, block_parent, block_quad, occ_f, w):
     cin = dense_c.shape[-1]
     cout = w.shape[-1]
     h = BLOCK // 2
-    par = dense_c[block_parent]                       # (NBf, 512, Cin)
-    cells = jnp.asarray(_quad_cells())[block_quad]    # (NBf, 64)
-    sub = jnp.take_along_axis(par, cells[..., None], axis=1)
-    sub = sub.reshape(nbf, h, h, h, cin)
     # conv_transpose applies the kernel spatially flipped; pre-flip so
     # out[2p + o] = in[p] @ w[o] (the upsample_table semantics)
     wk = w.reshape(2, 2, 2, cin, cout)[::-1, ::-1, ::-1]
-    out = jax.lax.conv_transpose(
-        sub, wk.astype(sub.dtype),
-        strides=(2, 2, 2), padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    ).astype(dense_c.dtype)
-    out = out.reshape(nbf, BLOCK_CELLS, cout) * occ_f[:nbf][..., None]
+    quad_cells = jnp.asarray(_quad_cells())
+
+    def chunk_fn(args):
+        parent_c, quad_c, occ_c = args
+        ch = parent_c.shape[0]
+        par = dense_c[parent_c]                        # (CH, 512, Cin)
+        cells = quad_cells[quad_c]                     # (CH, 64)
+        sub = jnp.take_along_axis(par, cells[..., None], axis=1)
+        sub = sub.reshape(ch, h, h, h, cin)
+        out = jax.lax.conv_transpose(
+            sub, wk.astype(sub.dtype),
+            strides=(2, 2, 2), padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        ).astype(dense_c.dtype)
+        return out.reshape(ch, BLOCK_CELLS, cout) * occ_c[..., None]
+
+    nbcap_c = dense_c.shape[0] - 1
+    parent_p, pad = _pad_rows_to(block_parent, _BCHUNK, nbcap_c)
+    quad_p, _ = _pad_rows_to(block_quad, _BCHUNK, 0)
+    occ_p, _ = _pad_rows_to(occ_f[:nbf], _BCHUNK, 0)
+    n_chunks = parent_p.shape[0] // _BCHUNK
+    out = jax.lax.map(
+        jax.checkpoint(chunk_fn),
+        (parent_p.reshape(n_chunks, _BCHUNK),
+         quad_p.reshape(n_chunks, _BCHUNK),
+         occ_p.reshape(n_chunks, _BCHUNK, BLOCK_CELLS)),
+    ).reshape(nbf + pad, BLOCK_CELLS, cout)[:nbf]
     return jnp.concatenate(
         [out, jnp.zeros((1, BLOCK_CELLS, cout), out.dtype)], axis=0
     )
