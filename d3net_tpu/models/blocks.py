@@ -47,6 +47,19 @@ def block_occ(t: LevelTables):
     )
 
 
+def rows_to_blocks_b(x, t: LevelTables):
+    """(B, cap, C) rows -> (B, NB+1, 512, C) block-dense."""
+    nbcap = t["block_nbr"].shape[1]
+    return jax.vmap(bc.rows_to_blocks, in_axes=(0, 0, 0, None))(
+        x, t["vox2cell"], t["mask"].astype(bool), nbcap
+    )
+
+
+def blocks_to_rows_b(dense, t: LevelTables):
+    """(B, NB+1, 512, C) block-dense -> (B, cap, C) rows."""
+    return jax.vmap(bc.blocks_to_rows)(dense, t["vox2cell"])
+
+
 def _bn_any(bn: "MaskedBatchNorm", x, mask, train: bool):
     """Apply a MaskedBatchNorm to row (B,M,C) or block (B,NB+1,512,C) feats."""
     if x.ndim == 4:
@@ -132,6 +145,34 @@ class SubmConv(nn.Module):
                     feats, occ, w
                 )
             raise ValueError(f"kernel_volume {self.kernel_volume}")
+        if isinstance(nbr, dict):
+            # block mode, row-space in/out: convert around the conv.  Wide
+            # input channels (the 134-dim input conv) are chunked so the
+            # block-dense transient never exceeds ~32 channels; chunks are
+            # rematerialized (sum of convs == conv, by linearity).
+            t = nbr
+            if self.kernel_volume == 1:
+                out = jnp.einsum(
+                    "bmc,cd->bmd", feats, w[0].astype(feats.dtype),
+                    preferred_element_type=jnp.float32,
+                ).astype(feats.dtype)
+                return out * t["mask"].astype(out.dtype)[..., None]
+            assert self.kernel_volume == 27
+            step = 32
+
+            def one_chunk(f_c, w_c):
+                d = rows_to_blocks_b(f_c, t)
+                return jax.vmap(bc.subm_conv, in_axes=(0, 0, 0, None))(
+                    d, occ, t["block_nbr"], w_c
+                )
+
+            acc = None
+            for c0 in range(0, cin, step):
+                part = jax.checkpoint(one_chunk)(
+                    feats[..., c0:c0 + step], w[:, c0:c0 + step]
+                )
+                acc = part if acc is None else acc + part
+            return blocks_to_rows_b(acc, t)
         if nbr_t is None:
             nbr_t = nbr
         return _batched_conv(feats, nbr, nbr_t, w, flip_t)
@@ -144,20 +185,36 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, nbr, mask, train: bool):
-        block = x.ndim == 4
-        occ = mask if block else None
+        if isinstance(nbr, dict):
+            # block mode: x is ROW-space (B, cap, C) — activations saved at
+            # remat boundaries stay row-sized; the block-dense form exists
+            # only transiently around the two convs (docs/perf_notes.md)
+            t = nbr
+            occ = block_occ(t)
+            identity = x
+            h = _bn_any(MaskedBatchNorm(), x, mask, train)
+            h = nn.relu(h)
+            d = rows_to_blocks_b(h, t)
+            d = SubmConv(self.out_channels)(d, t["block_nbr"], occ=occ)
+            d = _bn_any(MaskedBatchNorm(), d, occ, train)
+            d = nn.relu(d)
+            d = SubmConv(self.out_channels)(d, t["block_nbr"], occ=occ)
+            h = blocks_to_rows_b(d, t)
+            if identity.shape[-1] != self.out_channels:
+                identity = SubmConv(self.out_channels, kernel_volume=1)(
+                    identity, t
+                )
+            return h + identity
         identity = x
         h = _bn_any(MaskedBatchNorm(), x, mask, train)
         h = nn.relu(h)
-        h = SubmConv(self.out_channels)(h, nbr, occ=occ)
+        h = SubmConv(self.out_channels)(h, nbr)
         h = _bn_any(MaskedBatchNorm(), h, mask, train)
         h = nn.relu(h)
-        h = SubmConv(self.out_channels)(h, nbr, occ=occ)
+        h = SubmConv(self.out_channels)(h, nbr)
         if identity.shape[-1] != self.out_channels:
             identity = SubmConv(self.out_channels, kernel_volume=1)(
-                identity,
-                None if block else nbr[..., 13:14],  # center of the 3^3 table
-                occ=occ,
+                identity, nbr[..., 13:14]  # center of the 3^3 table
             )
         return h + identity
 
@@ -169,9 +226,9 @@ class VGGBlock(nn.Module):
     def __call__(self, x, nbr, mask, train: bool):
         h = _bn_any(MaskedBatchNorm(), x, mask, train)
         h = nn.relu(h)
-        return SubmConv(self.out_channels)(
-            h, nbr, occ=mask if x.ndim == 4 else None
-        )
+        if isinstance(nbr, dict):  # block mode: rows in/out
+            return SubmConv(self.out_channels)(h, nbr, occ=block_occ(nbr))
+        return SubmConv(self.out_channels)(h, nbr)
 
 
 class UBlock(nn.Module):
@@ -195,21 +252,23 @@ class UBlock(nn.Module):
             block = nn.remat(block, static_argnums=(4,))
         t0 = tables[0]
         bm = "block_nbr" in t0
-        nbr0 = t0["block_nbr"] if bm else t0["nbr"]
-        mask0 = block_occ(t0) if bm else t0["mask"]
+        nbr0 = t0 if bm else t0["nbr"]
+        mask0 = t0["mask"]
         for _ in range(self.block_reps):
             x = block(self.planes[0])(x, nbr0, mask0, train)
 
         if len(self.planes) > 1:
             t1 = tables[1]
-            mask1 = block_occ(t1) if bm else t1["mask"]
+            mask1 = t1["mask"]
             identity = x
             h = _bn_any(MaskedBatchNorm(), x, mask0, train)
             h = nn.relu(h)
             if bm:
-                h = SubmConv(self.planes[1], kernel_volume=8)(
-                    h, t0["block_child"], occ=mask1
+                d = rows_to_blocks_b(h, t0)
+                d = SubmConv(self.planes[1], kernel_volume=8)(
+                    d, t0["block_child"], occ=block_occ(t1)
                 )
+                h = blocks_to_rows_b(d, t1)
             else:
                 h = SubmConv(self.planes[1], kernel_volume=8)(
                     h, t0["down"], t0["up"], False
@@ -219,9 +278,12 @@ class UBlock(nn.Module):
             h = _bn_any(MaskedBatchNorm(), h, mask1, train)
             h = nn.relu(h)
             if bm:
-                h = SubmConv(self.planes[0], kernel_volume=8)(
-                    h, (t0["block_parent"], t0["block_quad"]), occ=mask0
+                d = rows_to_blocks_b(h, t1)
+                d = SubmConv(self.planes[0], kernel_volume=8)(
+                    d, (t0["block_parent"], t0["block_quad"]),
+                    occ=block_occ(t0)
                 )
+                h = blocks_to_rows_b(d, t0)
             else:
                 h = SubmConv(self.planes[0], kernel_volume=8)(
                     h, t0["up"], t0["down"], False

@@ -112,17 +112,13 @@ class PointGroup(nn.Module):
     def backbone(self, voxel_feats, tables, train: bool):
         t0 = tables[0]
         if "block_nbr" in t0:  # block-dense conv path (docs/perf_notes.md)
+            # activations stay ROW-space end to end; blocks/conv3d form
+            # exists only transiently inside each conv (channel-chunked for
+            # the wide input conv)
             from d3net_tpu.models.blocks import block_occ
-            from d3net_tpu.ops import block_conv as bconv
 
-            nbcap = t0["block_nbr"].shape[1]
-            occ0 = block_occ(t0)
-            h = jax.vmap(bconv.rows_to_blocks, in_axes=(0, 0, 0, None))(
-                voxel_feats, t0["vox2cell"], t0["mask"].astype(bool), nbcap
-            )
-            h = self.input_conv(h, t0["block_nbr"], occ=occ0)
+            h = self.input_conv(voxel_feats, t0, occ=block_occ(t0))
             h = self.unet(h, tables, train)
-            h = jax.vmap(bconv.blocks_to_rows)(h, t0["vox2cell"])
         else:
             h = self.input_conv(voxel_feats, t0["nbr"])
             h = self.unet(h, tables, train)

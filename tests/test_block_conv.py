@@ -139,13 +139,8 @@ def test_unet_block_mode_matches_gather_mode():
     vs = net.init(jax.random.key(0), x_rows, tg, False)
     ref = np.asarray(net.apply(vs, x_rows, tg, False))[0]
 
-    x_blk = jax.vmap(bc.rows_to_blocks, in_axes=(0, 0, 0, None))(
-        x_rows, tb[0]["vox2cell"], tb[0]["mask"].astype(bool), NB_CAPS[0]
-    )
-    out_blk = net.apply(vs, x_blk, tb, False)
-    got = np.asarray(
-        jax.vmap(bc.blocks_to_rows)(out_blk, tb[0]["vox2cell"])
-    )[0]
+    # block mode carries row-space activations end to end
+    got = np.asarray(net.apply(vs, x_rows, tb, False))[0]
     np.testing.assert_allclose(got[:m], ref[:m], atol=3e-5)
 
 
