@@ -213,7 +213,12 @@ def make_dataloaders(cfg: Config, spec: BatchSpec, return_scenes: bool = False):
         size_range=tuple(syn.get("size_range", (0.3, 1.2))),
     )
     train_scenes = SyntheticScenes(syn.num_scenes, "train", **kw)
-    val_scenes = SyntheticScenes(max(2, syn.num_scenes // 8), "val", **kw)
+    n_val = int(
+        os.environ.get("D3NET_VAL_SCENES", 0)
+        or syn.get("num_val_scenes", 0)
+        or max(2, syn.num_scenes // 8)
+    )
+    val_scenes = SyntheticScenes(n_val, "val", **kw)
     mv_h5 = cfg.data.get("multiview_hdf5")
     if mv_h5:
         from d3net_tpu.data.dataset import MultiviewAttached
