@@ -94,6 +94,26 @@ def timed_scan_ms(make_fn, k1: int, k2: int, reps: int = 3):
     return per_step * 1e3, t1 * 1e3, t2 * 1e3
 
 
+def _wait_for_worker(max_wait_s: float = 360.0):
+    """Block until the device answers a trivial program again.
+
+    A watchdog kill (docs/tpu_scan_fault.md) restarts the tunneled worker;
+    for ~3 min every dispatch fails UNAVAILABLE.  Poll with a tiny matmul
+    so follow-up measurements hit a healthy device instead of inheriting
+    the crash.
+    """
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            x = jnp.ones((128, 128))
+            float((x @ x).sum())
+            return
+        except Exception:  # noqa: BLE001
+            if time.time() > deadline:
+                return
+            time.sleep(15)
+
+
 def main():
     model = PointGroup()  # flagship defaults: m=16, blocks 1..7
     scenes, spec = build_bench_batch()
@@ -207,6 +227,7 @@ def main():
             train_detail["train_path"] = "scan"
         except Exception as e:  # noqa: BLE001 — scan may fault some runtimes
             train_detail["train_scan_error"] = str(e).splitlines()[0][:160]
+            _wait_for_worker()  # a faulted worker needs ~3min to recover
             step = jit_train_step(train_model)
             st, m = step(state, train_batch, jax.random.key(1))
             float(m["total_loss"])  # compile
