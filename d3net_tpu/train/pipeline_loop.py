@@ -617,6 +617,11 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
             if max_steps and step >= max_steps:
                 break
 
+        check_every = int(cfg.train.get("check_val_every_n_epoch", 1) or 1)
+        last_epoch = epoch + 1 >= cfg.train.epochs
+        if ((epoch + 1) % check_every != 0 and not last_epoch
+                and not (max_steps and step >= max_steps)):
+            continue
         val_metrics = run_pipeline_validation(
             cfg, model, state, val_it, vocab, emb, chunk, mesh, mode,
             val_fns=val_fns,
