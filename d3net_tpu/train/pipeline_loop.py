@@ -272,6 +272,36 @@ def make_caption_reward_fn(vocab: Vocabulary, caption_weight: float = 1.0,
     return host_fn
 
 
+def sample_caption_ids(model, state, spk_batch, spk_lang, rng,
+                       chunk_size: int, beam_size: int, sample_topn: int):
+    """Phase A of the two-phase RL step: reproduce the speaker rollout and
+    return (sampled_cap ids, baseline_cap ids).
+
+    The tunneled axon TPU backend rejects host callbacks (io_callback), so
+    the CIDEr reward cannot run inside the jitted step.  The rollout is
+    deterministic given (state, batch, rng) — `_rngs` keys off state.step —
+    so phase B (`joint_rl_train_step` with ``caption_scores``) re-runs the
+    identical rollout under grad and the host-scored rewards line up.
+    """
+    rngs = _rngs(rng, state.step)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out, mut = model.apply(
+        variables, spk_batch, train=True,
+        method=PipelineNet.run_detector, rngs=rngs, mutable=["batch_stats"],
+    )
+    data = {**out, **spk_lang, **expand_rows(out, spk_batch, chunk_size)}
+    data, _ = model.apply(
+        {"params": state.params, "batch_stats": mut["batch_stats"]},
+        data, mode="rl", rng=rngs["target_sampling"],
+        chunk_size=chunk_size, beam_size=beam_size, sample_topn=sample_topn,
+        method=PipelineNet.run_speaker, rngs=rngs, mutable=["batch_stats"],
+    )
+    n_rows = spk_lang["lang_ids"].shape[0]
+    sampled = data["sampled_cap"].reshape(n_rows * sample_topn, -1)
+    baseline = jnp.repeat(data["baseline_cap"], sample_topn, axis=0)
+    return sampled, baseline
+
+
 def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
                         lis_batch, lis_lang, rng, chunk_size: int,
                         beam_size: int = 3, sample_topn: int = 3,
@@ -280,9 +310,16 @@ def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
                         lang_reward_weight: float = 1.0,
                         listener_reward_weight: float = 0.1,
                         caption_reward_weight: float = 1.0,
-                        loss_type: str = "cross_entropy"):
+                        loss_type: str = "cross_entropy",
+                        caption_scores=None):
     """Mode 3: joint self-critical RL over two dataloader streams
-    (ref :228-309)."""
+    (ref :228-309).
+
+    ``caption_scores``: optional (sampled_scores, baseline_scores) arrays
+    computed on host from `sample_caption_ids` output — required on
+    backends without io_callback support; None falls back to in-graph
+    host callbacks (CPU).
+    """
     rngs = _rngs(rng, state.step)
 
     def loss_fn(params):
@@ -352,19 +389,26 @@ def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
         )
 
         # caption rewards via host CIDEr
-        sampled_flat = data["sampled_cap"].reshape(n_rows * sample_topn, -1)
-        gt_rep = rep_topn(spk_lang["lang_ids"])
         ann_rep = rep_topn(spk_lang["annotated"])
-        reward_shape = jax.ShapeDtypeStruct((n_rows * sample_topn,), jnp.float32)
-        sampled_scores = io_callback(
-            reward_host_fn, reward_shape, sampled_flat, gt_rep, ann_rep,
-            ordered=False,
-        )
-        baseline_rep = rep_topn(data["baseline_cap"])
-        baseline_scores = io_callback(
-            reward_host_fn, reward_shape, baseline_rep, gt_rep, ann_rep,
-            ordered=False,
-        )
+        if caption_scores is not None:
+            sampled_scores, baseline_scores = caption_scores
+        else:
+            sampled_flat = data["sampled_cap"].reshape(
+                n_rows * sample_topn, -1
+            )
+            gt_rep = rep_topn(spk_lang["lang_ids"])
+            reward_shape = jax.ShapeDtypeStruct(
+                (n_rows * sample_topn,), jnp.float32
+            )
+            sampled_scores = io_callback(
+                reward_host_fn, reward_shape, sampled_flat, gt_rep, ann_rep,
+                ordered=False,
+            )
+            baseline_rep = rep_topn(data["baseline_cap"])
+            baseline_scores = io_callback(
+                reward_host_fn, reward_shape, baseline_rep, gt_rep, ann_rep,
+                ordered=False,
+            )
         caption_reward = sampled_scores - baseline_scores
         ref_reward = -(jax.lax.stop_gradient(ref_sampled) - jax.lax.stop_gradient(ref_baseline))
         lang_reward = -(jax.lax.stop_gradient(lang_sampled) - jax.lax.stop_gradient(lang_baseline))
@@ -567,6 +611,16 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
         reward_fn = make_caption_reward_fn(
             vocab, cfg.train.caption_reward_weight, 0.0
         )
+        # two-phase RL (backends without io_callback, e.g. the tunneled
+        # axon TPU): phase A samples caption ids on device, the host scores
+        # CIDEr, phase B takes the scores as arrays. io_callback stays the
+        # single-dispatch path on CPU.
+        two_phase = (jax.default_backend() != "cpu"
+                     or bool(int(os.environ.get("D3NET_RL_TWO_PHASE", "0"))))
+        sample_fn = jax.jit(functools.partial(
+            sample_caption_ids, model, chunk_size=chunk,
+            beam_size=cfg.train.beam_size, sample_topn=cfg.train.sample_topn,
+        ))
         step_fn = jax.jit(functools.partial(
             joint_rl_train_step, model, reward_fn, chunk_size=chunk,
             beam_size=cfg.train.beam_size, sample_topn=cfg.train.sample_topn,
@@ -604,7 +658,21 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
                 batch, lang = item
             t0 = time.time()
             if mode == 3:
-                state, metrics = step_fn(state, batch, lang, batch, lang, rng)
+                if two_phase:
+                    ids_s, ids_b = sample_fn(state, batch, lang, rng)
+                    topn = int(cfg.train.sample_topn)
+                    gt = np.repeat(np.asarray(lang["lang_ids"]), topn, axis=0)
+                    ann = np.repeat(np.asarray(lang["annotated"]), topn,
+                                    axis=0)
+                    s_sc = jnp.asarray(reward_fn(np.asarray(ids_s), gt, ann))
+                    b_sc = jnp.asarray(reward_fn(np.asarray(ids_b), gt, ann))
+                    state, metrics = step_fn(
+                        state, batch, lang, batch, lang, rng,
+                        caption_scores=(s_sc, b_sc),
+                    )
+                else:
+                    state, metrics = step_fn(state, batch, lang, batch, lang,
+                                             rng)
             else:
                 state, metrics = step_fn(state, batch, lang, rng)
             step += 1
