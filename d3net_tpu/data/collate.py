@@ -181,6 +181,17 @@ def build_batch(scenes: List[Scene], spec: BatchSpec) -> Dict[str, np.ndarray]:
         p2v = np.where(p2v >= caps[0], caps[0], p2v).astype(np.int32)
         if block_mode:
             levels, blocks = build_block_maps(vc, caps, nb_caps)
+            for li, bm in enumerate(blocks):
+                if bm.overflow_voxels:
+                    # silent block-cap overflow would drop features (the pad
+                    # block is kept all-zero) — make misconfiguration visible
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "block cap overflow: scene %d level %d dropped %d "
+                        "voxels (nb_cap=%d too small)",
+                        s_i, li, bm.overflow_voxels, nb_caps[li],
+                    )
         else:
             levels = build_unet_maps(vc, caps)
             blocks = None

@@ -195,6 +195,11 @@ def rouge_l(gts: Dict, cands: Dict, beta: float = 1.2) -> Tuple[float, List[floa
 
 
 def meteor_available() -> bool:
+    """True when the Porter stemmer dependency (nltk) is importable."""
+    try:
+        import nltk  # noqa: F401
+    except ImportError:
+        return False
     return True
 
 

@@ -88,7 +88,10 @@ class CaptionEvaluator:
         corpus_bleu, _ = capeval.bleu(self.gts, self.cands, 4)
         cider, _ = capeval.Cider().compute_score(self.gts, self.cands)
         rouge, _ = capeval.rouge_l(self.gts, self.cands)
-        met, _ = capeval.meteor(self.gts, self.cands)
+        if capeval.meteor_available():
+            met, _ = capeval.meteor(self.gts, self.cands)
+        else:  # nltk (Porter stemmer) absent — report 0 rather than crash
+            met = 0.0
         return {"bleu4": corpus_bleu[3], "cider": cider, "rouge": rouge,
                 "meteor": met}
 

@@ -59,28 +59,32 @@ def _setup(cfg, run_dir):
     restored = ckpt.restore_weights(state)
     if restored is None:
         print("WARNING: no checkpoint found, evaluating random weights")
+        ckpt_info = {"kind": "none", "step": -1}
     else:
         state = restored
-    return model, state, val_it, vocab, emb, chunk, mesh
+        ckpt_info = dict(ckpt.restored_from or {})
+        print(f"evaluating {ckpt_info.get('kind')} checkpoint "
+              f"(step {ckpt_info.get('step')})")
+    return model, state, val_it, vocab, emb, chunk, mesh, ckpt_info
 
 
 def eval_captioning_cli(cfg, run_dir) -> Dict[str, float]:
     from d3net_tpu.train.pipeline_loop import run_pipeline_validation
 
-    model, state, val_it, vocab, emb, chunk, mesh = _setup(cfg, run_dir)
+    model, state, val_it, vocab, emb, chunk, mesh, ckpt_info = _setup(cfg, run_dir)
     metrics = run_pipeline_validation(
         cfg, model, state, val_it, vocab, emb, chunk, mesh, mode=1
     )
     print(json.dumps(metrics, indent=2))
     with open(os.path.join(run_dir, "eval_captioning.json"), "w") as f:
-        json.dump(metrics, f)
+        json.dump({**metrics, "checkpoint": ckpt_info}, f)
     return metrics
 
 
 def eval_grounding_cli(cfg, run_dir) -> Dict[str, float]:
     from d3net_tpu.train.pipeline_loop import run_pipeline_validation
 
-    model, state, val_it, vocab, emb, chunk, mesh = _setup(cfg, run_dir)
+    model, state, val_it, vocab, emb, chunk, mesh, ckpt_info = _setup(cfg, run_dir)
     metrics = {}
     for rep in range(int(cfg.eval.get("repeat", 1))):
         m = run_pipeline_validation(
@@ -91,7 +95,7 @@ def eval_grounding_cli(cfg, run_dir) -> Dict[str, float]:
     metrics = {k: float(np.mean(v)) for k, v in metrics.items()}
     print(json.dumps(metrics, indent=2))
     with open(os.path.join(run_dir, "eval_grounding.json"), "w") as f:
-        json.dump(metrics, f)
+        json.dump({**metrics, "checkpoint": ckpt_info}, f)
     return metrics
 
 
@@ -112,7 +116,7 @@ def eval_scannet_cli(cfg, run_dir) -> None:
     from d3net_tpu.parallel.mesh import shard_batch
     from d3net_tpu.utils.nms import nms_matrix
 
-    model, state, val_it, vocab, emb, chunk, mesh = _setup(cfg, run_dir)
+    model, state, val_it, vocab, emb, chunk, mesh, ckpt_info = _setup(cfg, run_dir)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     det_fn = jax.jit(functools.partial(
         model.apply, variables, train=False, method=PipelineNet.run_detector))
@@ -175,5 +179,5 @@ def eval_scannet_cli(cfg, run_dir) -> None:
     metrics.pop("per_class_iou", None)
     print(json.dumps(metrics, indent=2))
     with open(os.path.join(run_dir, "eval_scannet.json"), "w") as f:
-        json.dump(metrics, f)
+        json.dump({**metrics, "checkpoint": ckpt_info}, f)
     return metrics

@@ -338,10 +338,18 @@ class CaptionModule(nn.Module):
         center_labels = data["center_label_chunk"]       # (N, I, 3)
         corner_labels = data["gt_bbox_chunk"]            # (N, I, 8, 3)
 
-        target_ids, target_ious, assigned = self.select_target(
-            rng, obj_masks, centers, corners, center_labels, corner_labels,
-            ref_corner_label, is_annotated,
-        )
+        if "target_ids_in" in data:
+            # two-phase RL phase B: reuse phase A's selection verbatim so the
+            # teacher-forced logps correspond exactly to the host-scored
+            # captions (no cross-program determinism assumption)
+            target_ids = data["target_ids_in"]
+            target_ious = data["target_ious_in"]
+            assigned = jnp.zeros_like(target_ids)
+        else:
+            target_ids, target_ious, assigned = self.select_target(
+                rng, obj_masks, centers, corners, center_labels, corner_labels,
+                ref_corner_label, is_annotated,
+            )
         n = target_ids.shape[0]
         target_feats = obj_feats[jnp.arange(n), target_ids]
         vm = (
@@ -379,6 +387,35 @@ class CaptionModule(nn.Module):
                 embeddings, target_feats, obj_feats, vm, self.max_len + 1
             )
             out["baseline_cap"] = base_ids               # (N, T)
+        elif mode == "rl_tf":
+            # two-phase RL phase B: teacher-force the phase-A rollout.
+            # Recomputes the sampled tokens' log-probs under grad without
+            # re-running beam search (halves the speaker-stream cost) and is
+            # exact by construction: logp(token | prefix) of given ids is the
+            # same computation the beam recorded, so no bitwise re-sampling
+            # assumption remains.
+            sampled = data["sampled_cap_in"]             # (N, topn, T)
+            n2, topn, t = sampled.shape
+            rep = lambda x: jnp.repeat(x, topn, axis=0)
+            flat = sampled.reshape(n2 * topn, t)
+            # prepend sos: teacher_forcing consumes full[:, :T] and predicts
+            # full[:, 1:] == the rollout tokens
+            full = jnp.concatenate(
+                [jnp.full((n2 * topn, 1), self.sos_id, flat.dtype), flat], -1
+            )
+            logits = self.teacher_forcing(
+                full, embeddings, rep(target_feats), rep(obj_feats), rep(vm)
+            )                                            # (N*topn, T, V)
+            lp = jax.nn.log_softmax(logits, -1)
+            step_lp = jnp.take_along_axis(lp, flat[..., None], -1)[..., 0]
+            # beam semantics: finished beams emit pad with logp 0 — zero
+            # every position strictly after the first eos
+            after_eos = jnp.cumsum((flat == self.eos_id).astype(jnp.int32),
+                                   axis=-1) - (flat == self.eos_id)
+            step_lp = jnp.where(after_eos > 0, 0.0, step_lp)
+            out["sampled_cap"] = sampled
+            out["sampled_logps"] = step_lp.reshape(n2, topn, t)
+            out["baseline_cap"] = data["baseline_cap_in"]
         else:
             raise ValueError(mode)
         return out

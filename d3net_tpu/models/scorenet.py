@@ -139,11 +139,16 @@ def _bn(x, occ, train):
 
 
 def _conv(x, features, kernel, strides=1, transpose=False):
-    """3D conv in the activation dtype (params cast in, f32 MXU accumulate)."""
+    """3D conv in the activation dtype (params cast in, f32 MXU accumulate).
+
+    Bias-free, matching the gather-mode GridConv and the reference's
+    MinkowskiEngine score_net convs (``model/pointgroup.py:88-92``) — keeps
+    gather- and block-mode ScoreNet checkpoints structurally compatible.
+    """
     cls = nn.ConvTranspose if transpose else nn.Conv
     k = (kernel,) * 3
     s = (strides,) * 3
-    return cls(features, k, strides=s, dtype=x.dtype)(x)
+    return cls(features, k, strides=s, dtype=x.dtype, use_bias=False)(x)
 
 
 class DenseResBlock(nn.Module):

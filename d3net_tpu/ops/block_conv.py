@@ -46,7 +46,11 @@ def rows_to_blocks(feats, vox2cell, valid, nbcap: int):
     safe = jnp.where(valid[:, None], feats, 0.0).astype(feats.dtype)
     dense = jnp.zeros(((nbcap + 1) * BLOCK_CELLS, c), feats.dtype)
     dense = dense.at[vox2cell].set(safe)
-    return dense.reshape(nbcap + 1, BLOCK_CELLS, c)
+    dense = dense.reshape(nbcap + 1, BLOCK_CELLS, c)
+    # voxels whose block overflowed nb_caps carry vox2cell == nbcap*512 even
+    # when valid; their scatter would leave garbage in the pad block that
+    # every INVALID gather then reads — keep the pad block all-zero
+    return dense.at[nbcap].set(0.0)
 
 
 def blocks_to_rows(dense, vox2cell):

@@ -256,6 +256,7 @@ class BlockMaps:
     block_child: Optional[np.ndarray] = None   # (nbcap_next, 8) fine block ids; INVALID = nbcap
     block_parent: Optional[np.ndarray] = None  # (nbcap,) coarse block id; INVALID = nbcap_next
     block_quad: Optional[np.ndarray] = None    # (nbcap,) in [0, 8)
+    overflow_voxels: int = 0        # voxels dropped because their block fell past nbcap
 
 
 def _block_list(coords: np.ndarray, nbcap: int):
@@ -319,6 +320,7 @@ def build_block_maps(coords: np.ndarray, caps: List[int], nb_caps: List[int]):
             num_blocks=nb,
             vox2cell=_pad_rows(vox2cell, cap, nbcap * BLOCK_CELLS),
             block_nbr=_pad_rows(block_nbr, nbcap, nbcap),
+            overflow_voxels=int((vox_block >= nbcap).sum()),
         )
         lv = LevelMaps(
             num_voxels=m,

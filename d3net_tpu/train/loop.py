@@ -31,8 +31,44 @@ from d3net_tpu.train.trainer import (
 )
 
 
+def run_fingerprint(cfg: Optional[Config] = None) -> Dict[str, str]:
+    """Provenance stamp for run artifacts: git SHA + config hash + time."""
+    import hashlib
+    import subprocess
+
+    sha = "unknown"
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        pass
+    out = {"git_sha": sha,
+           "time": time.strftime("%Y-%m-%dT%H:%M:%S")}
+    if cfg is not None:
+        try:
+            blob = json.dumps(cfg.to_dict(), sort_keys=True, default=str)
+            out["config_hash"] = hashlib.sha256(blob.encode()).hexdigest()[:16]
+        except Exception:
+            pass
+    return out
+
+
+def write_run_meta(run_dir: str, cfg: Optional[Config] = None) -> None:
+    with open(os.path.join(run_dir, "run_meta.json"), "w") as f:
+        json.dump(run_fingerprint(cfg), f, indent=2)
+
+
 class MetricLogger:
-    """JSONL + (optional) TensorBoard scalar logging."""
+    """JSONL + (optional) TensorBoard scalar logging.
+
+    One training history per file: call :meth:`begin` after checkpoint
+    restore — if the existing ``metrics.jsonl`` already contains steps past
+    the restored step (a divergent older history), it is rotated away
+    instead of interleaved (run-provenance contract).
+    """
 
     def __init__(self, run_dir: str):
         self.path = os.path.join(run_dir, "metrics.jsonl")
@@ -43,6 +79,29 @@ class MetricLogger:
             self._tb = tf.summary.create_file_writer(os.path.join(run_dir, "tb"))
         except Exception:
             pass
+
+    def begin(self, start_step: int) -> None:
+        """Rotate an existing log whose history extends past start_step."""
+        if not os.path.exists(self.path):
+            return
+        last = -1
+        try:
+            with open(self.path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        last = max(last, int(json.loads(line).get("step", -1)))
+        except Exception:
+            return
+        if last > start_step:
+            dst = f"{self.path}.upto{last}"
+            i = 0
+            while os.path.exists(dst):
+                i += 1
+                dst = f"{self.path}.upto{last}.{i}"
+            os.rename(self.path, dst)
+            print(f"rotated stale metrics history (last step {last} > "
+                  f"restored {start_step}) -> {os.path.basename(dst)}")
 
     def log(self, step: int, scalars: Dict[str, float], prefix: str = "train"):
         rec = {"step": int(step), **{f"{prefix}/{k}": float(v) for k, v in scalars.items()}}
@@ -70,6 +129,7 @@ class Checkpointer:
     """
 
     def __init__(self, run_dir: str, monitor: str, mode: str = "min"):
+        self.restored_from: Optional[Dict] = None  # set by restore_weights
         root = os.path.abspath(run_dir)
         self.mgr = ocp.CheckpointManager(
             os.path.join(root, "ckpt"),
@@ -146,12 +206,14 @@ class Checkpointer:
         the run used (e.g. frozen-submodule ``multi_transform`` opt_states
         don't match a plain optimizer's tree and fail a structured restore).
         """
-        mgrs = [self.best_mgr, self.mgr] if prefer_best else [self.mgr]
-        for mgr in mgrs:
+        mgrs = [("best", self.best_mgr), ("last", self.mgr)] \
+            if prefer_best else [("last", self.mgr)]
+        for kind, mgr in mgrs:
             step = mgr.latest_step()
             if step is None:
                 continue
             raw = mgr.restore(step)
+            self.restored_from = {"kind": kind, "step": int(step)}
             return state.replace(
                 params=raw["params"],
                 batch_stats=raw.get("batch_stats", {}),
@@ -272,6 +334,8 @@ def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
     if restored is not None:
         state = restored
         print(f"resumed from step {int(state.step)}")
+    write_run_meta(run_dir, cfg)
+    logger.begin(int(state.step))
 
     lw = tuple(cfg.train.loss_weight[:4])
     train_step = jit_train_step(model, loss_weight=lw)
@@ -408,6 +472,8 @@ def run_detector_training_scan(cfg: Config, run_dir: str,
     if restored is not None:
         state = restored
         print(f"resumed from step {int(state.step)}")
+    write_run_meta(run_dir, cfg)
+    logger.begin(int(state.step))
 
     lw = tuple(cfg.train.loss_weight[:4])
     spd = int(cfg.tpu.get("steps_per_dispatch", 64))

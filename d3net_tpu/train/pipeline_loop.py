@@ -272,16 +272,26 @@ def make_caption_reward_fn(vocab: Vocabulary, caption_weight: float = 1.0,
     return host_fn
 
 
+def use_two_phase_rl() -> bool:
+    """Two-phase RL (host CIDEr between two dispatches) is REQUIRED on
+    backends that reject io_callback (the tunneled axon TPU); on CPU the
+    in-graph io_callback path is the default and D3NET_RL_TWO_PHASE=1
+    opts in to two-phase for testing."""
+    return (jax.default_backend() != "cpu"
+            or bool(int(os.environ.get("D3NET_RL_TWO_PHASE", "0"))))
+
+
 def sample_caption_ids(model, state, spk_batch, spk_lang, rng,
                        chunk_size: int, beam_size: int, sample_topn: int):
-    """Phase A of the two-phase RL step: reproduce the speaker rollout and
-    return (sampled_cap ids, baseline_cap ids).
+    """Phase A of the two-phase RL step: run the speaker rollout WITHOUT
+    grad and return the full rollout record.
 
     The tunneled axon TPU backend rejects host callbacks (io_callback), so
-    the CIDEr reward cannot run inside the jitted step.  The rollout is
-    deterministic given (state, batch, rng) — `_rngs` keys off state.step —
-    so phase B (`joint_rl_train_step` with ``caption_scores``) re-runs the
-    identical rollout under grad and the host-scored rewards line up.
+    the CIDEr reward cannot run inside the jitted step.  Phase A samples,
+    the host scores CIDEr, and phase B (`joint_rl_train_step` with
+    ``rollout=``) TEACHER-FORCES these exact ids under grad — the logps it
+    reinforces belong to the captions the host scored by construction, with
+    no cross-program bitwise-determinism assumption.
     """
     rngs = _rngs(rng, state.step)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -296,10 +306,13 @@ def sample_caption_ids(model, state, spk_batch, spk_lang, rng,
         chunk_size=chunk_size, beam_size=beam_size, sample_topn=sample_topn,
         method=PipelineNet.run_speaker, rngs=rngs, mutable=["batch_stats"],
     )
-    n_rows = spk_lang["lang_ids"].shape[0]
-    sampled = data["sampled_cap"].reshape(n_rows * sample_topn, -1)
-    baseline = jnp.repeat(data["baseline_cap"], sample_topn, axis=0)
-    return sampled, baseline
+    return {
+        "sampled_cap": data["sampled_cap"],        # (N, topn, T)
+        "baseline_cap": data["baseline_cap"],      # (N, T)
+        "target_ids": data["target_ids"],          # (N,)
+        "target_ious": data["target_ious"],        # (N,)
+        "sampled_logps": data["sampled_logps"],    # (N, topn, T) — tests
+    }
 
 
 def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
@@ -311,7 +324,7 @@ def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
                         listener_reward_weight: float = 0.1,
                         caption_reward_weight: float = 1.0,
                         loss_type: str = "cross_entropy",
-                        caption_scores=None):
+                        caption_scores=None, rollout=None):
     """Mode 3: joint self-critical RL over two dataloader streams
     (ref :228-309).
 
@@ -319,6 +332,10 @@ def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
     computed on host from `sample_caption_ids` output — required on
     backends without io_callback support; None falls back to in-graph
     host callbacks (CPU).
+    ``rollout``: optional phase-A record (dict from `sample_caption_ids`).
+    When given, the speaker teacher-forces these exact ids (mode "rl_tf")
+    instead of re-running beam search — cheaper, and the reinforced logps
+    match the host-scored captions exactly.
     """
     rngs = _rngs(rng, state.step)
 
@@ -335,8 +352,15 @@ def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
         bs = mut["batch_stats"]
         det_spk = detector_loss(out, spk_batch, loss_weight=det_weight)
         data = {**out, **spk_lang, **expand_rows(out, spk_batch, chunk_size)}
+        spk_mode = "rl"
+        if rollout is not None:
+            spk_mode = "rl_tf"
+            data["sampled_cap_in"] = rollout["sampled_cap"]
+            data["baseline_cap_in"] = rollout["baseline_cap"]
+            data["target_ids_in"] = rollout["target_ids"]
+            data["target_ious_in"] = rollout["target_ious"]
         data, mut = model.apply(
-            variables(bs), data, mode="rl", rng=rngs["target_sampling"],
+            variables(bs), data, mode=spk_mode, rng=rngs["target_sampling"],
             chunk_size=chunk_size, beam_size=beam_size, sample_topn=sample_topn,
             method=PipelineNet.run_speaker, rngs=rngs, mutable=["batch_stats"],
         )
@@ -595,6 +619,9 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
     if restored is not None:
         state = restored
         print(f"resumed from step {int(state.step)}")
+    from d3net_tpu.train.loop import write_run_meta
+    write_run_meta(run_dir, cfg)
+    logger.begin(int(state.step))
 
     det_w = tuple(cfg.train.loss_weight[:4])
     loss_type = str(cfg.model.get("loss_type", "cross_entropy"))
@@ -613,10 +640,9 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
         )
         # two-phase RL (backends without io_callback, e.g. the tunneled
         # axon TPU): phase A samples caption ids on device, the host scores
-        # CIDEr, phase B takes the scores as arrays. io_callback stays the
-        # single-dispatch path on CPU.
-        two_phase = (jax.default_backend() != "cpu"
-                     or bool(int(os.environ.get("D3NET_RL_TWO_PHASE", "0"))))
+        # CIDEr, phase B teacher-forces the sampled ids under grad.
+        # io_callback stays the single-dispatch path on CPU.
+        two_phase = use_two_phase_rl()
         sample_fn = jax.jit(functools.partial(
             sample_caption_ids, model, chunk_size=chunk,
             beam_size=cfg.train.beam_size, sample_topn=cfg.train.sample_topn,
@@ -641,6 +667,7 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
     # to epoch 0 when enabled.
     cache_batches = bool(cfg.tpu.get("cache_batches", False))
     cached_pairs = []
+    prev_pair = None  # mode-3 listener stream: previous draw (two streams)
     val_fns = _ValFns(model, chunk)
     for epoch in range(cfg.train.epochs):
         if cache_batches and cached_pairs:
@@ -658,21 +685,36 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
                 batch, lang = item
             t0 = time.time()
             if mode == 3:
+                # two independent streams (ref scripts/train.py:359-365 uses
+                # two dataloaders): speaker takes the current draw, the
+                # listener stream the previous one — both cover the dataset,
+                # no extra host collate
+                lis_batch, lis_lang = (prev_pair if prev_pair is not None
+                                       else (batch, lang))
+                prev_pair = (batch, lang)
                 if two_phase:
-                    ids_s, ids_b = sample_fn(state, batch, lang, rng)
+                    rollout = sample_fn(state, batch, lang, rng)
                     topn = int(cfg.train.sample_topn)
+                    n_rows = lang["lang_ids"].shape[0]
+                    ids_s = np.asarray(rollout["sampled_cap"]).reshape(
+                        n_rows * topn, -1)
+                    ids_b = np.repeat(np.asarray(rollout["baseline_cap"]),
+                                      topn, axis=0)
                     gt = np.repeat(np.asarray(lang["lang_ids"]), topn, axis=0)
                     ann = np.repeat(np.asarray(lang["annotated"]), topn,
                                     axis=0)
-                    s_sc = jnp.asarray(reward_fn(np.asarray(ids_s), gt, ann))
-                    b_sc = jnp.asarray(reward_fn(np.asarray(ids_b), gt, ann))
+                    s_sc = jnp.asarray(reward_fn(ids_s, gt, ann))
+                    b_sc = jnp.asarray(reward_fn(ids_b, gt, ann))
                     state, metrics = step_fn(
-                        state, batch, lang, batch, lang, rng,
+                        state, batch, lang, lis_batch, lis_lang, rng,
                         caption_scores=(s_sc, b_sc),
+                        rollout={k: rollout[k] for k in (
+                            "sampled_cap", "baseline_cap", "target_ids",
+                            "target_ious")},
                     )
                 else:
-                    state, metrics = step_fn(state, batch, lang, batch, lang,
-                                             rng)
+                    state, metrics = step_fn(state, batch, lang, lis_batch,
+                                             lis_lang, rng)
             else:
                 state, metrics = step_fn(state, batch, lang, rng)
             step += 1

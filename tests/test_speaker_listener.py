@@ -322,3 +322,40 @@ def test_standard_beam_score_equals_logp_sum(caption_setup):
     np.testing.assert_allclose(
         np.asarray(lps).sum(-1), np.asarray(scores), rtol=1e-4, atol=1e-4
     )
+
+
+def test_rl_tf_logps_match_beam_rollout(caption_setup):
+    """Two-phase RL contract: teacher-forcing the beam's sampled ids (mode
+    'rl_tf') must reproduce the beam's recorded per-step logps exactly —
+    phase B reinforces the captions the host actually scored."""
+    cm, vs, data = caption_setup
+    rl = jax.jit(
+        lambda v, d: cm.apply(v, d, mode="rl", rng=jax.random.key(3),
+                              beam_size=4, sample_topn=2)
+    )(vs, data)
+    d2 = dict(data)
+    d2["sampled_cap_in"] = rl["sampled_cap"]
+    d2["baseline_cap_in"] = rl["baseline_cap"]
+    d2["target_ids_in"] = rl["target_ids"]
+    d2["target_ious_in"] = rl["target_ious"]
+    tf = jax.jit(lambda v, d: cm.apply(v, d, mode="rl_tf"))(vs, d2)
+    np.testing.assert_array_equal(
+        np.asarray(tf["sampled_cap"]), np.asarray(rl["sampled_cap"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(tf["sampled_logps"]), np.asarray(rl["sampled_logps"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tf["good_bbox_masks"]), np.asarray(rl["good_bbox_masks"])
+    )
+
+
+def test_use_two_phase_rl_gating(monkeypatch):
+    from d3net_tpu.train import pipeline_loop as pl
+
+    # CPU backend: in-graph io_callback path by default
+    monkeypatch.delenv("D3NET_RL_TWO_PHASE", raising=False)
+    assert pl.use_two_phase_rl() is (jax.default_backend() != "cpu")
+    monkeypatch.setenv("D3NET_RL_TWO_PHASE", "1")
+    assert pl.use_two_phase_rl() is True
