@@ -38,6 +38,14 @@ LevelTables = Dict[str, Any]
 
 _batched_conv = jax.vmap(sparse_conv_t, in_axes=(0, 0, 0, None, None))
 
+# batched row-space block convs with custom VJPs (block-dense form is
+# transient inside both fwd and bwd — see ops/block_conv.py round-3 header)
+_subm_rows_b = jax.vmap(bc.subm_conv_rows, in_axes=(0, None, 0, 0, 0))
+_down_rows_b = jax.vmap(bc.down_conv_rows,
+                        in_axes=(0, None, 0, 0, 0, 0, 0, 0, 0))
+_up_rows_b = jax.vmap(bc.up_conv_rows,
+                      in_axes=(0, None, 0, 0, 0, 0, 0, 0, 0))
+
 
 def block_occ(t: LevelTables):
     """(B, NB+1, 512) occupancy for a block-mode level table."""
@@ -47,17 +55,25 @@ def block_occ(t: LevelTables):
     )
 
 
-def rows_to_blocks_b(x, t: LevelTables):
-    """(B, cap, C) rows -> (B, NB+1, 512, C) block-dense."""
-    nbcap = t["block_nbr"].shape[1]
-    return jax.vmap(bc.rows_to_blocks, in_axes=(0, 0, 0, None))(
-        x, t["vox2cell"], t["mask"].astype(bool), nbcap
+def subm_rows(x, t: LevelTables, w):
+    """(B, cap, Cin) rows -> (B, cap, Cout): batched submanifold conv."""
+    return _subm_rows_b(x, w, t["vox2cell"], t["mask"], t["block_nbr"])
+
+
+def down_rows(x, t_f: LevelTables, t_c: LevelTables, w):
+    """(B, capf, Cin) fine rows -> (B, capc, Cout) coarse rows."""
+    return _down_rows_b(
+        x, w, t_f["vox2cell"], t_f["mask"], t_f["block_child"],
+        t_f["block_parent"], t_f["block_quad"], t_c["vox2cell"], t_c["mask"]
     )
 
 
-def blocks_to_rows_b(dense, t: LevelTables):
-    """(B, NB+1, 512, C) block-dense -> (B, cap, C) rows."""
-    return jax.vmap(bc.blocks_to_rows)(dense, t["vox2cell"])
+def up_rows(x, t_f: LevelTables, t_c: LevelTables, w):
+    """(B, capc, Cin) coarse rows -> (B, capf, Cout) fine rows."""
+    return _up_rows_b(
+        x, w, t_c["vox2cell"], t_c["mask"], t_f["block_child"],
+        t_f["block_parent"], t_f["block_quad"], t_f["vox2cell"], t_f["mask"]
+    )
 
 
 def _bn_any(bn: "MaskedBatchNorm", x, mask, train: bool):
@@ -120,36 +136,16 @@ class SubmConv(nn.Module):
     kernel_volume: int = 27
 
     @nn.compact
-    def __call__(self, feats, nbr, nbr_t=None, flip_t: bool = True, occ=None):
+    def __call__(self, feats, nbr, nbr_t=None, flip_t: bool = True):
         cin = feats.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
             (self.kernel_volume, cin, self.out_channels),
         )
-        if feats.ndim == 4:  # block-dense (B, NB+1, 512, C)
-            if self.kernel_volume == 27:
-                return jax.vmap(bc.subm_conv, in_axes=(0, 0, 0, None))(
-                    feats, occ, nbr, w
-                )
-            if self.kernel_volume == 8:
-                if isinstance(nbr, tuple):  # transposed: (parent, quad)
-                    return jax.vmap(bc.up_conv, in_axes=(0, 0, 0, 0, None))(
-                        feats, nbr[0], nbr[1], occ, w
-                    )
-                return jax.vmap(bc.down_conv, in_axes=(0, 0, 0, None))(
-                    feats, nbr, occ, w
-                )
-            if self.kernel_volume == 1:
-                return jax.vmap(bc.one_by_one, in_axes=(0, 0, None))(
-                    feats, occ, w
-                )
-            raise ValueError(f"kernel_volume {self.kernel_volume}")
         if isinstance(nbr, dict):
-            # block mode, row-space in/out: convert around the conv.  Wide
-            # input channels (the 134-dim input conv) are chunked so the
-            # block-dense transient never exceeds ~32 channels; chunks are
-            # rematerialized (sum of convs == conv, by linearity).
+            # block mode, row-space in/out; the custom-VJP op handles wide
+            # input channels (the 134-dim input conv) by chunking internally
             t = nbr
             if self.kernel_volume == 1:
                 out = jnp.einsum(
@@ -158,21 +154,14 @@ class SubmConv(nn.Module):
                 ).astype(feats.dtype)
                 return out * t["mask"].astype(out.dtype)[..., None]
             assert self.kernel_volume == 27
-            step = 32
-
-            def one_chunk(f_c, w_c):
-                d = rows_to_blocks_b(f_c, t)
-                return jax.vmap(bc.subm_conv, in_axes=(0, 0, 0, None))(
-                    d, occ, t["block_nbr"], w_c
-                )
-
-            acc = None
-            for c0 in range(0, cin, step):
-                part = jax.checkpoint(one_chunk)(
-                    feats[..., c0:c0 + step], w[:, c0:c0 + step]
-                )
-                acc = part if acc is None else acc + part
-            return blocks_to_rows_b(acc, t)
+            return subm_rows(feats, t, w)
+        if isinstance(nbr, tuple) and isinstance(nbr[0], dict):
+            # block mode stride-2 pair: (t_fine, t_coarse, "down"|"up")
+            t_f, t_c, direction = nbr
+            assert self.kernel_volume == 8
+            if direction == "down":
+                return down_rows(feats, t_f, t_c, w)
+            return up_rows(feats, t_f, t_c, w)
         if nbr_t is None:
             nbr_t = nbr
         return _batched_conv(feats, nbr, nbr_t, w, flip_t)
@@ -185,26 +174,10 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, nbr, mask, train: bool):
-        if isinstance(nbr, dict):
-            # block mode: x is ROW-space (B, cap, C) — activations saved at
-            # remat boundaries stay row-sized; the block-dense form exists
-            # only transiently around the two convs (docs/perf_notes.md)
-            t = nbr
-            occ = block_occ(t)
-            identity = x
-            h = _bn_any(MaskedBatchNorm(), x, mask, train)
-            h = nn.relu(h)
-            d = rows_to_blocks_b(h, t)
-            d = SubmConv(self.out_channels)(d, t["block_nbr"], occ=occ)
-            d = _bn_any(MaskedBatchNorm(), d, occ, train)
-            d = nn.relu(d)
-            d = SubmConv(self.out_channels)(d, t["block_nbr"], occ=occ)
-            h = blocks_to_rows_b(d, t)
-            if identity.shape[-1] != self.out_channels:
-                identity = SubmConv(self.out_channels, kernel_volume=1)(
-                    identity, t
-                )
-            return h + identity
+        # block mode (nbr is a level-table dict): x is ROW-space (B, cap, C)
+        # end to end — BN/relu run on rows (17x smaller than block-dense)
+        # and each conv is a rows->rows custom-VJP op, so the only saved
+        # activations anywhere are row-sized (docs/perf_notes.md, round 3)
         identity = x
         h = _bn_any(MaskedBatchNorm(), x, mask, train)
         h = nn.relu(h)
@@ -214,7 +187,8 @@ class ResidualBlock(nn.Module):
         h = SubmConv(self.out_channels)(h, nbr)
         if identity.shape[-1] != self.out_channels:
             identity = SubmConv(self.out_channels, kernel_volume=1)(
-                identity, nbr[..., 13:14]  # center of the 3^3 table
+                identity,
+                nbr if isinstance(nbr, dict) else nbr[..., 13:14],
             )
         return h + identity
 
@@ -226,8 +200,6 @@ class VGGBlock(nn.Module):
     def __call__(self, x, nbr, mask, train: bool):
         h = _bn_any(MaskedBatchNorm(), x, mask, train)
         h = nn.relu(h)
-        if isinstance(nbr, dict):  # block mode: rows in/out
-            return SubmConv(self.out_channels)(h, nbr, occ=block_occ(nbr))
         return SubmConv(self.out_channels)(h, nbr)
 
 
@@ -244,18 +216,23 @@ class UBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, tables: List[LevelTables], train: bool):
-        block = ResidualBlock if self.residual else VGGBlock
-        if self.remat:
-            # TPU activations with small channel dims pad 2-8x in HBM
-            # (lane tiling); storing every block activation for backward
-            # OOMs at 10^5 voxels. Recompute blocks in the backward pass.
-            block = nn.remat(block, static_argnums=(4,))
         t0 = tables[0]
         bm = "block_nbr" in t0
+        block = ResidualBlock if self.residual else VGGBlock
+        if self.remat and not bm:
+            # gather mode: TPU activations with small channel dims pad 2-8x
+            # in HBM (lane tiling); storing every block activation for
+            # backward OOMs at 10^5 voxels. Recompute blocks in the backward.
+            # Block mode needs no remat: its custom-VJP convs save only
+            # row-space residuals, which fit easily.
+            block = nn.remat(block, static_argnums=(4,))
         nbr0 = t0 if bm else t0["nbr"]
         mask0 = t0["mask"]
-        for _ in range(self.block_reps):
-            x = block(self.planes[0])(x, nbr0, mask0, train)
+        # explicit names: param paths stay identical whether or not the
+        # block class is remat-wrapped (remat renames the class, and the two
+        # conv modes differ in remat use — checkpoints must interchange)
+        for r in range(self.block_reps):
+            x = block(self.planes[0], name=f"blk{r}")(x, nbr0, mask0, train)
 
         if len(self.planes) > 1:
             t1 = tables[1]
@@ -264,11 +241,9 @@ class UBlock(nn.Module):
             h = _bn_any(MaskedBatchNorm(), x, mask0, train)
             h = nn.relu(h)
             if bm:
-                d = rows_to_blocks_b(h, t0)
-                d = SubmConv(self.planes[1], kernel_volume=8)(
-                    d, t0["block_child"], occ=block_occ(t1)
+                h = SubmConv(self.planes[1], kernel_volume=8)(
+                    h, (t0, t1, "down")
                 )
-                h = blocks_to_rows_b(d, t1)
             else:
                 h = SubmConv(self.planes[1], kernel_volume=8)(
                     h, t0["down"], t0["up"], False
@@ -278,17 +253,15 @@ class UBlock(nn.Module):
             h = _bn_any(MaskedBatchNorm(), h, mask1, train)
             h = nn.relu(h)
             if bm:
-                d = rows_to_blocks_b(h, t1)
-                d = SubmConv(self.planes[0], kernel_volume=8)(
-                    d, (t0["block_parent"], t0["block_quad"]),
-                    occ=block_occ(t0)
+                h = SubmConv(self.planes[0], kernel_volume=8)(
+                    h, (t0, t1, "up")
                 )
-                h = blocks_to_rows_b(d, t0)
             else:
                 h = SubmConv(self.planes[0], kernel_volume=8)(
                     h, t0["up"], t0["down"], False
                 )
             x = jnp.concatenate([identity, h], axis=-1)
             for i in range(self.block_reps):
-                x = block(self.planes[0])(x, nbr0, mask0, train)
+                x = block(self.planes[0], name=f"tail{i}")(x, nbr0, mask0,
+                                                           train)
         return x

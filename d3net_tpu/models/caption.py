@@ -154,9 +154,24 @@ class CaptionModule(nn.Module):
         adapted from self-critical.pytorch), realized without the
         reference's group time-stagger: a static Python loop over groups
         inside one scan step gives each group the earlier groups' current
-        choices directly.  Selection uses the augmented scores; the recorded
-        per-step logps are unaugmented (what the RL policy gradient needs,
-        ref ``:614``).  group_size=1 == standard beam search.
+        choices directly.
+
+        This is EQUIVALENT to the reference's staggered schedule, not an
+        approximation: in the reference, group g at global time t executes
+        local step tau = t - g and is penalized by the words groups < g
+        chose at the same LOCAL tau (``add_diversity`` indexes
+        ``beam_seq_table[prev][:, :, local_time]``).  By induction over
+        (g, tau), group g's decision at tau depends only on its own state
+        at tau-1 and on groups < g's decisions at tau — the stagger merely
+        schedules those dependencies across global steps for sequential
+        execution, while the in-step group loop satisfies them directly,
+        so both schemes compute the identical selections
+        (tests/test_speaker_listener.py::test_diverse_beam_matches_staggered
+        _reference_schedule pins this on a toy decoder).
+
+        Selection uses the augmented scores; the recorded per-step logps
+        are unaugmented (what the RL policy gradient needs, ref ``:614``).
+        group_size=1 == standard beam search.
 
         Returns (seqs (N, beam, T), logps (N, beam, T), scores (N, beam)),
         groups concatenated in order, each sorted best-first (matching the

@@ -111,13 +111,15 @@ class PointGroup(nn.Module):
     # ------------------------------------------------------------------
     def backbone(self, voxel_feats, tables, train: bool):
         t0 = tables[0]
+        # the input features are data (no params upstream): stop_gradient
+        # lets XLA DCE the input conv's dx branch in the backward — at
+        # flagship width (134 channels) that transient alone is gigabytes
+        voxel_feats = jax.lax.stop_gradient(voxel_feats)
         if "block_nbr" in t0:  # block-dense conv path (docs/perf_notes.md)
             # activations stay ROW-space end to end; blocks/conv3d form
-            # exists only transiently inside each conv (channel-chunked for
-            # the wide input conv)
-            from d3net_tpu.models.blocks import block_occ
-
-            h = self.input_conv(voxel_feats, t0, occ=block_occ(t0))
+            # exists only transiently inside each conv's fwd and custom-VJP
+            # bwd (channel-chunked for the wide input conv)
+            h = self.input_conv(voxel_feats, t0)
             h = self.unet(h, tables, train)
         else:
             h = self.input_conv(voxel_feats, t0["nbr"])

@@ -293,3 +293,314 @@ def one_by_one(dense, occ, w):
     return jnp.concatenate(
         [out, jnp.zeros((1, BLOCK_CELLS, cout), out.dtype)], axis=0
     )
+
+
+# ---------------------------------------------------------------------------
+# Row-space ops with custom VJPs (round 3).
+#
+# Autodiff through the halo/gather machinery above materializes full-size
+# block-dense cotangents (scatter-add chains over (NB+1, 512, C) tensors and
+# their face pre-slices) — at flagship caps the U-Net backward wanted ~35GB
+# (docs/perf_notes.md).  These wrappers expose each conv as a pure
+# rows -> rows function whose VJP is hand-written:
+#
+# - residuals saved for backward are ROW-space (cap, C) only — block-dense
+#   form exists strictly transiently inside fwd and bwd;
+# - dx reuses the forward kernels: a submanifold conv is self-transpose
+#   under kernel mirroring (w_hat[k] = w[26-k]^T — the block_nbr table is
+#   symmetric by construction), and down/up stride-2 convs are exact
+#   transposes of each other (out[2p+o] = in[p] w[o]  <->
+#   out[p] = sum_o in[2p+o] w[o]);
+# - dw is computed by the same block-chunked halo walk with per-offset
+#   einsums on the MXU (f32 accumulation).
+#
+# Reference parity: replaces torch autograd through MinkowskiEngine's
+# gather/scatter conv (model/common.py:73-118) with the same math.
+# ---------------------------------------------------------------------------
+
+# input-channel slice width for the wide (e.g. 134-dim) input conv: bounds
+# every block-dense transient to ~_CCHUNK channels (sum of convs == conv)
+_CCHUNK = 64
+
+
+def _c_slices(c: int):
+    return [(c0, min(c0 + _CCHUNK, c)) for c0 in range(0, c, _CCHUNK)]
+
+
+def _subm_dw(dense_x, block_nbr, dy_dense):
+    """(27, Cin, Cout) weight grad: dw[k] = sum_i x[i + off_k]^T dy[i].
+
+    Same chunked halo construction as subm_conv; per offset the kernel-grad
+    contribution is a (CH*512, Cin) x (CH*512, Cout) matmul.
+    """
+    nbcap = dense_x.shape[0] - 1
+    cin = dense_x.shape[-1]
+    cout = dy_dense.shape[-1]
+    d = dense_x.reshape(nbcap + 1, BLOCK, BLOCK, BLOCK, cin)
+    faces = []
+    for k, (ox, oy, oz) in enumerate(_OFFS3):
+        if (ox, oy, oz) == (0, 0, 0):
+            faces.append(None)
+        else:
+            cells = jnp.asarray(_face_cells(ox, oy, oz))
+            faces.append(dense_x[:, cells, :])
+
+    def chunk_fn(args):
+        nbr_c, d_c, dy_c = args
+        ch = nbr_c.shape[0]
+        halo = jnp.zeros((ch, BLOCK + 2, BLOCK + 2, BLOCK + 2, cin),
+                         dense_x.dtype)
+        for k, (ox, oy, oz) in enumerate(_OFFS3):
+            dx0, dx1, sx0, sx1 = _halo_ranges(ox)
+            dy0, dy1, sy0, sy1 = _halo_ranges(oy)
+            dz0, dz1, sz0, sz1 = _halo_ranges(oz)
+            if (ox, oy, oz) == (0, 0, 0):
+                src = d_c[:, sx0:sx1, sy0:sy1, sz0:sz1]
+            else:
+                src = faces[k][nbr_c[:, k]].reshape(
+                    ch, dx1 - dx0, dy1 - dy0, dz1 - dz0, cin
+                )
+            halo = halo.at[:, dx0:dx1, dy0:dy1, dz0:dz1].set(src)
+        dyf = dy_c.reshape(ch * BLOCK_CELLS, cout)
+        dws = []
+        for ox, oy, oz in _OFFS3:
+            view = halo[:, 1 + ox:1 + ox + BLOCK, 1 + oy:1 + oy + BLOCK,
+                        1 + oz:1 + oz + BLOCK].reshape(ch * BLOCK_CELLS, cin)
+            dws.append(jnp.einsum(
+                "nc,nd->cd", view, dyf, preferred_element_type=jnp.float32
+            ))
+        return jnp.stack(dws)                            # (27, Cin, Cout)
+
+    nbr_p, _ = _pad_rows_to(block_nbr, _BCHUNK, nbcap)
+    d_p, _ = _pad_rows_to(d[:nbcap], _BCHUNK, 0)
+    dy_p, _ = _pad_rows_to(dy_dense[:nbcap], _BCHUNK, 0)
+    n_chunks = nbr_p.shape[0] // _BCHUNK
+
+    def reshape_c(a):
+        return a.reshape((n_chunks, _BCHUNK) + a.shape[1:])
+
+    parts = jax.lax.map(
+        chunk_fn, (reshape_c(nbr_p), reshape_c(d_p), reshape_c(dy_p))
+    )
+    return parts.sum(axis=0)
+
+
+def _subm_rows_impl(feats, w, vox2cell, valid, block_nbr, occ):
+    """Channel-chunked subm conv; accumulates in row space."""
+    nbcap = block_nbr.shape[0]
+    out = None
+    for c0, c1 in _c_slices(feats.shape[-1]):
+        dense = rows_to_blocks(feats[..., c0:c1], vox2cell, valid, nbcap)
+        o = subm_conv(dense, occ, block_nbr, w[:, c0:c1])
+        rows = blocks_to_rows(o, vox2cell)
+        out = rows if out is None else out + rows
+    return out
+
+
+@jax.custom_vjp
+def subm_conv_rows(feats, w, vox2cell, validf, block_nbr):
+    """Row-space 3^3 submanifold conv: (cap, Cin) -> (cap, Cout).
+
+    w: (27, Cin, Cout) in the gather conv's offset order — weights remain
+    interchangeable across conv implementations.
+    """
+    valid = validf.astype(bool)
+    occ = block_occupancy(vox2cell, valid, block_nbr.shape[0])
+    return _subm_rows_impl(feats, w, vox2cell, valid, block_nbr, occ)
+
+
+def _subm_rows_fwd(feats, w, vox2cell, validf, block_nbr):
+    return (subm_conv_rows(feats, w, vox2cell, validf, block_nbr),
+            (feats, w, vox2cell, validf, block_nbr))
+
+
+def _subm_rows_bwd(res, dy):
+    feats, w, vox2cell, validf, block_nbr = res
+    nbcap = block_nbr.shape[0]
+    valid = validf.astype(bool)
+    occ = block_occupancy(vox2cell, valid, nbcap)
+    # dx: subm conv of dy with the mirrored-transposed kernel (see header)
+    w_hat = w[::-1].transpose(0, 2, 1)               # (27, Cout, Cin)
+    dy = dy.astype(feats.dtype)
+    dx = _subm_rows_impl(dy, w_hat, vox2cell, valid, block_nbr, occ)
+    # dw: chunk input channels like the forward
+    dy_dense = rows_to_blocks(dy, vox2cell, valid, nbcap)
+    dws = []
+    for c0, c1 in _c_slices(feats.shape[-1]):
+        dense_x = rows_to_blocks(feats[..., c0:c1], vox2cell, valid, nbcap)
+        dws.append(_subm_dw(dense_x, block_nbr, dy_dense))
+    dw = jnp.concatenate(dws, axis=1).astype(w.dtype)
+    return dx.astype(feats.dtype), dw, None, None, None
+
+
+subm_conv_rows.defvjp(_subm_rows_fwd, _subm_rows_bwd)
+
+
+def _down_dw(dense_f, block_child, dy_dense_c):
+    """(8, Cin, Cout) weight grad for the stride-2 down conv."""
+    nbf = dense_f.shape[0] - 1
+    nbc = block_child.shape[0]
+    cin = dense_f.shape[-1]
+    cout = dy_dense_c.shape[-1]
+    d = dense_f.reshape(nbf + 1, BLOCK, BLOCK, BLOCK, cin)
+
+    def chunk_fn(args):
+        child_c, dy_c = args
+        ch = child_c.shape[0]
+        vol = jnp.zeros((ch, 2 * BLOCK, 2 * BLOCK, 2 * BLOCK, cin),
+                        dense_f.dtype)
+        for k, (ox, oy, oz) in enumerate(_OFFS2):
+            vol = vol.at[
+                :, ox * BLOCK:(ox + 1) * BLOCK, oy * BLOCK:(oy + 1) * BLOCK,
+                oz * BLOCK:(oz + 1) * BLOCK,
+            ].set(d[child_c[:, k]])
+        dyf = dy_c.reshape(ch * BLOCK_CELLS, cout)
+        dws = []
+        for ox, oy, oz in _OFFS2:
+            view = vol[:, ox::2, oy::2, oz::2].reshape(
+                ch * BLOCK_CELLS, cin)
+            dws.append(jnp.einsum(
+                "nc,nd->cd", view, dyf, preferred_element_type=jnp.float32
+            ))
+        return jnp.stack(dws)                            # (8, Cin, Cout)
+
+    child_p, _ = _pad_rows_to(block_child, _BCHUNK, nbf)
+    dy_p, _ = _pad_rows_to(dy_dense_c[:nbc], _BCHUNK, 0)
+    n_chunks = child_p.shape[0] // _BCHUNK
+    parts = jax.lax.map(
+        chunk_fn,
+        (child_p.reshape(n_chunks, _BCHUNK, 8),
+         dy_p.reshape(n_chunks, _BCHUNK, BLOCK_CELLS, cout)),
+    )
+    return parts.sum(axis=0)
+
+
+def _up_dw(dense_c, block_parent, block_quad, dy_dense_f):
+    """(8, Cin, Cout) weight grad for the transposed stride-2 conv.
+
+    up: out_f[2p + o] = in_c[p] w[o]  =>  dw[o] = sum_p in_c[p]^T dy_f[2p+o].
+    """
+    nbf = block_parent.shape[0]
+    cin = dense_c.shape[-1]
+    cout = dy_dense_f.shape[-1]
+    h = BLOCK // 2
+    quad_cells = jnp.asarray(_quad_cells())
+
+    def chunk_fn(args):
+        parent_c, quad_c, dy_c = args
+        ch = parent_c.shape[0]
+        par = dense_c[parent_c]                        # (CH, 512, Cin)
+        cells = quad_cells[quad_c]                     # (CH, 64)
+        sub = jnp.take_along_axis(par, cells[..., None], axis=1)
+        subf = sub.reshape(ch * h * h * h, cin)
+        dyv = dy_c.reshape(ch, BLOCK, BLOCK, BLOCK, cout)
+        dws = []
+        for ox, oy, oz in _OFFS2:
+            view = dyv[:, ox::2, oy::2, oz::2].reshape(
+                ch * h * h * h, cout)
+            dws.append(jnp.einsum(
+                "nc,nd->cd", subf, view, preferred_element_type=jnp.float32
+            ))
+        return jnp.stack(dws)                            # (8, Cin, Cout)
+
+    nbcap_c = dense_c.shape[0] - 1
+    parent_p, _ = _pad_rows_to(block_parent, _BCHUNK, nbcap_c)
+    quad_p, _ = _pad_rows_to(block_quad, _BCHUNK, 0)
+    dy_p, _ = _pad_rows_to(dy_dense_f[:nbf], _BCHUNK, 0)
+    n_chunks = parent_p.shape[0] // _BCHUNK
+    parts = jax.lax.map(
+        chunk_fn,
+        (parent_p.reshape(n_chunks, _BCHUNK),
+         quad_p.reshape(n_chunks, _BCHUNK),
+         dy_p.reshape(n_chunks, _BCHUNK, BLOCK_CELLS, cout)),
+    )
+    return parts.sum(axis=0)
+
+
+@jax.custom_vjp
+def down_conv_rows(feats_f, w, v2c_f, validf_f, block_child, block_parent,
+                   block_quad, v2c_c, validf_c):
+    """Row-space stride-2 kernel-2 conv: fine rows -> coarse rows.
+
+    w: (8, Cin, Cout) in ``_offsets(2)`` order (gather-conv compatible).
+    """
+    nbc = block_child.shape[0]
+    dense_f = rows_to_blocks(feats_f, v2c_f, validf_f.astype(bool),
+                             block_parent.shape[0])
+    occ_c = block_occupancy(v2c_c, validf_c.astype(bool), nbc)
+    out = down_conv(dense_f, block_child, occ_c, w)
+    return blocks_to_rows(out, v2c_c)
+
+
+def _down_rows_fwd(feats_f, w, v2c_f, validf_f, block_child, block_parent,
+                   block_quad, v2c_c, validf_c):
+    out = down_conv_rows(feats_f, w, v2c_f, validf_f, block_child,
+                         block_parent, block_quad, v2c_c, validf_c)
+    return out, (feats_f, w, v2c_f, validf_f, block_child, block_parent,
+                 block_quad, v2c_c, validf_c)
+
+
+def _down_rows_bwd(res, dy):
+    (feats_f, w, v2c_f, validf_f, block_child, block_parent, block_quad,
+     v2c_c, validf_c) = res
+    nbf = block_parent.shape[0]
+    nbc = block_child.shape[0]
+    valid_f = validf_f.astype(bool)
+    valid_c = validf_c.astype(bool)
+    dy = dy.astype(feats_f.dtype)
+    dy_dense_c = rows_to_blocks(dy, v2c_c, valid_c, nbc)
+    # dx: exact transpose of down is up with per-offset transposed weights
+    occ_f = block_occupancy(v2c_f, valid_f, nbf)
+    dx_dense = up_conv(dy_dense_c, block_parent, block_quad, occ_f,
+                       w.transpose(0, 2, 1))
+    dx = blocks_to_rows(dx_dense, v2c_f)
+    dense_f = rows_to_blocks(feats_f, v2c_f, valid_f, nbf)
+    dw = _down_dw(dense_f, block_child, dy_dense_c).astype(w.dtype)
+    return (dx.astype(feats_f.dtype), dw, None, None, None, None, None,
+            None, None)
+
+
+down_conv_rows.defvjp(_down_rows_fwd, _down_rows_bwd)
+
+
+@jax.custom_vjp
+def up_conv_rows(feats_c, w, v2c_c, validf_c, block_child, block_parent,
+                 block_quad, v2c_f, validf_f):
+    """Row-space transposed stride-2 conv: coarse rows -> fine rows."""
+    nbf = block_parent.shape[0]
+    dense_c = rows_to_blocks(feats_c, v2c_c, validf_c.astype(bool),
+                             block_child.shape[0])
+    occ_f = block_occupancy(v2c_f, validf_f.astype(bool), nbf)
+    out = up_conv(dense_c, block_parent, block_quad, occ_f, w)
+    return blocks_to_rows(out, v2c_f)
+
+
+def _up_rows_fwd(feats_c, w, v2c_c, validf_c, block_child, block_parent,
+                 block_quad, v2c_f, validf_f):
+    out = up_conv_rows(feats_c, w, v2c_c, validf_c, block_child, block_parent,
+                       block_quad, v2c_f, validf_f)
+    return out, (feats_c, w, v2c_c, validf_c, block_child, block_parent,
+                 block_quad, v2c_f, validf_f)
+
+
+def _up_rows_bwd(res, dy):
+    (feats_c, w, v2c_c, validf_c, block_child, block_parent, block_quad,
+     v2c_f, validf_f) = res
+    nbf = block_parent.shape[0]
+    nbc = block_child.shape[0]
+    valid_f = validf_f.astype(bool)
+    valid_c = validf_c.astype(bool)
+    dy = dy.astype(feats_c.dtype)
+    dy_dense_f = rows_to_blocks(dy, v2c_f, valid_f, nbf)
+    # dx: exact transpose of up is down with per-offset transposed weights
+    occ_c = block_occupancy(v2c_c, valid_c, nbc)
+    dx_dense = down_conv(dy_dense_f, block_child, occ_c,
+                         w.transpose(0, 2, 1))
+    dx = blocks_to_rows(dx_dense, v2c_c)
+    dense_c = rows_to_blocks(feats_c, v2c_c, valid_c, nbc)
+    dw = _up_dw(dense_c, block_parent, block_quad, dy_dense_f).astype(w.dtype)
+    return (dx.astype(feats_c.dtype), dw, None, None, None, None, None,
+            None, None)
+
+
+up_conv_rows.defvjp(_up_rows_fwd, _up_rows_bwd)

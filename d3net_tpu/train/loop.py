@@ -22,6 +22,7 @@ from d3net_tpu.data.collate import BatchSpec
 from d3net_tpu.data.dataset import BatchIterator, SyntheticScenes
 from d3net_tpu.models.pointgroup import PointGroup
 from d3net_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from d3net_tpu.train.migrate import migrate_legacy_block_names
 from d3net_tpu.train.trainer import (
     TrainState,
     create_train_state,
@@ -184,7 +185,18 @@ class Checkpointer:
         if step is None:
             return None
         template = self._payload(state)
-        restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+        try:
+            restored = mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        except Exception:
+            # legacy checkpoint (pre-round-3 auto block names): raw restore,
+            # migrate paths, then require an exact structure match
+            raw = migrate_legacy_block_names(mgr.restore(step))
+            jax.tree.map(lambda a, b: None, template, raw)  # structure check
+            restored = jax.tree.map(
+                lambda t, r: jnp.asarray(r, getattr(t, "dtype", None)),
+                template, raw)
+            print(f"migrated legacy checkpoint param names (step {step})")
         return state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
@@ -212,7 +224,7 @@ class Checkpointer:
             step = mgr.latest_step()
             if step is None:
                 continue
-            raw = mgr.restore(step)
+            raw = migrate_legacy_block_names(mgr.restore(step))
             self.restored_from = {"kind": kind, "step": int(step)}
             return state.replace(
                 params=raw["params"],

@@ -535,9 +535,12 @@ def apply_pretrained(params, batch_stats, cfg: Config):
         with open(path, "rb") as f:
             payload = pickle.load(f)
         assert sub in params, f"{sub} not in model params"
-        params[sub] = payload["params"]
+        from d3net_tpu.train.migrate import migrate_legacy_block_names
+
+        params[sub] = migrate_legacy_block_names(payload["params"])
         if payload.get("batch_stats"):
-            batch_stats[sub] = payload["batch_stats"]
+            batch_stats[sub] = migrate_legacy_block_names(
+                payload["batch_stats"])
         print(f"loaded pretrained {sub} from {path}")
     return params, batch_stats
 

@@ -359,3 +359,116 @@ def test_use_two_phase_rl_gating(monkeypatch):
     assert pl.use_two_phase_rl() is (jax.default_backend() != "cpu")
     monkeypatch.setenv("D3NET_RL_TWO_PHASE", "1")
     assert pl.use_two_phase_rl() is True
+
+
+def test_diverse_beam_matches_staggered_reference_schedule(caption_setup):
+    """The in-step group loop computes the SAME selections as the
+    reference's time-staggered diverse beam search schedule.
+
+    Oracle: the reference (``caption_module.py:157-238``, from
+    self-critical.pytorch) advances group g at global step t on LOCAL step
+    tau = t - g, penalizing by the words groups < g chose at the same tau.
+    We run exactly that schedule here — independent per-group beam states,
+    stepped in staggered order around ``CaptionModule.step`` — with the
+    repo's done-beam freezing, and require bitwise-equal selections and
+    matching logps/scores from ``beam_decode``'s single fused scan.
+    """
+    cm, vs, data = caption_setup
+    emb = data["glove_embeddings"]
+    n = int(data["lang_ids"].shape[0])
+    tgt = np.asarray(data["bbox_feature"])[np.arange(n), 0]
+    of = data["bbox_feature"]
+    vm = data["proposal_batch_mask"]
+    bm, g_n, lam = 4, 2, 0.7
+    bd = bm // g_n
+    t_steps = cm.max_len + 1
+    v = cm.num_vocabs
+    neg = -1e9
+
+    seqs, lps, scores = jax.jit(
+        lambda vv: cm.apply(vv, emb, jnp.asarray(tgt), of, vm, bm, None,
+                            g_n, lam, method=cm.beam_decode)
+    )(vs)
+    seqs, lps, scores = map(np.asarray, (seqs, lps, scores))
+
+    # ---- staggered oracle ------------------------------------------------
+    tgt_rep = jnp.repeat(jnp.asarray(tgt), bd, axis=0)
+    of_rep = jnp.repeat(of, bd, axis=0)
+    vm_rep = jnp.repeat(vm, bd, axis=0)
+
+    @jax.jit
+    def step(h, ids):
+        return cm.apply(vs, h, emb[ids], tgt_rep, of_rep, vm_rep,
+                        method=cm.step)
+
+    z = jnp.zeros((n * bd, cm.hidden_size))
+    st = []
+    for _ in range(g_n):
+        sc = np.full((n, bd), neg, np.float32)
+        sc[:, 0] = 0.0
+        st.append({
+            "h": (z, z),
+            "ids": np.full((n, bd), cm.sos_id, np.int32),
+            "scores": sc,
+            "done": np.zeros((n, bd), bool),
+            "words": [], "srcs": [], "lps": [],
+        })
+
+    pad_only = np.full((n, bd, v), neg, np.float32)
+    pad_only[:, :, cm.pad_id] = 0.0
+    for t in range(t_steps + g_n - 1):
+        for g in range(g_n):
+            tau = t - g
+            if not (0 <= tau < t_steps):
+                continue
+            s = st[g]
+            logits, h_new, _ = step(
+                s["h"], jnp.asarray(s["ids"].reshape(-1)))
+            lp_all = np.asarray(
+                jax.nn.log_softmax(logits, -1)).reshape(n, bd, v)
+            lp_un = np.where(s["done"][..., None], pad_only, lp_all)
+            if g > 0:
+                counts = np.zeros((n, v), np.float32)
+                for gp in range(g):
+                    w_prev = st[gp]["words"][tau]          # (n, bd) same tau
+                    for b in range(bd):
+                        counts[np.arange(n), w_prev[:, b]] += 1.0
+                lp_aug = np.where(s["done"][..., None], lp_un,
+                                  lp_un - lam * counts[:, None, :])
+            else:
+                lp_aug = lp_un
+            cand = (s["scores"][:, :, None] + lp_aug).reshape(n, bd * v)
+            top_scores, top_idx = jax.lax.top_k(jnp.asarray(cand), bd)
+            top_scores, top_idx = np.asarray(top_scores), np.asarray(top_idx)
+            src = top_idx // v
+            word = (top_idx % v).astype(np.int32)
+            step_lp = np.take_along_axis(
+                lp_un.reshape(n, bd * v), top_idx, axis=1)
+            s["done"] = np.take_along_axis(s["done"], src, 1) | (
+                word == cm.eos_id)
+            gidx = (np.arange(n)[:, None] * bd + src).reshape(-1)
+            h1, h2 = h_new
+            s["h"] = (jnp.asarray(np.asarray(h1)[gidx]),
+                      jnp.asarray(np.asarray(h2)[gidx]))
+            s["scores"] = top_scores
+            s["ids"] = word
+            s["words"].append(word)
+            s["srcs"].append(src)
+            s["lps"].append(step_lp)
+
+    for g in range(g_n):
+        s = st[g]
+        seq = np.zeros((n, bd, t_steps), np.int32)
+        lp = np.zeros((n, bd, t_steps), np.float32)
+        ptr = np.tile(np.arange(bd), (n, 1))
+        for tt in reversed(range(t_steps)):
+            seq[:, :, tt] = np.take_along_axis(s["words"][tt], ptr, 1)
+            lp[:, :, tt] = np.take_along_axis(s["lps"][tt], ptr, 1)
+            ptr = np.take_along_axis(s["srcs"][tt], ptr, 1)
+        sl = slice(g * bd, (g + 1) * bd)
+        np.testing.assert_array_equal(seqs[:, sl], seq,
+                                      err_msg=f"group {g} sequences")
+        np.testing.assert_allclose(lps[:, sl], lp, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"group {g} logps")
+        np.testing.assert_allclose(scores[:, sl], s["scores"], rtol=1e-4,
+                                   atol=1e-4, err_msg=f"group {g} scores")
