@@ -62,8 +62,12 @@ class BatchSpec:
         if self.block_caps:
             return list(self.block_caps)
         # ScanNet-statistics surfaces run ~30-90 voxels per occupied 8^3
-        # block (measured, docs/perf_notes.md); cap//20 leaves >1.5x margin
-        return [max(64, c // 20) for c in self.caps()]
+        # block (measured, docs/perf_notes.md); cap//20 leaves >1.5x margin.
+        # Rounded so nb_cap+1 is a 512-multiple: the block conv chunks
+        # (nb_cap+1)-row tensors in 512-block steps, and an aligned count
+        # makes that chunking slice-free (ops/block_conv.py).
+        return [-(-(max(64, c // 20) + 1) // 512) * 512 - 1
+                for c in self.caps()]
 
 
 def scene_features(scene: Scene, spec: BatchSpec) -> np.ndarray:

@@ -1,28 +1,59 @@
-"""Block-dense sparse convolution (TPU-native backbone, round 2).
+"""Block-dense sparse convolution (TPU-native backbone, folded-lane design).
 
 The gather-matmul sparse conv (:mod:`d3net_tpu.ops.sparse_conv`) issues ~27
 random HBM row-gathers per output voxel; at 10^5 voxels that is
-latency-bound (~2.3s of the flagship forward, docs/perf_notes.md).  This
-module re-lays sparse voxels into dense 8^3 spatial blocks (host tables:
-``ops.voxelize.build_block_maps``) and computes convolution with plain XLA
-conv3d over haloed block tiles:
+latency-bound (~76ns per 128B row, docs/perf_notes.md).  This module
+re-lays sparse voxels into dense 8^3 spatial blocks (host tables:
+``ops.voxelize.build_block_maps``) and computes convolution with banded
+matmuls on the MXU over haloed block tiles.
 
-- all random HBM access happens at whole-block granularity (26 neighbor
-  -block gathers of 512*C contiguous floats each — bandwidth-bound);
-- the convolution itself is dense 3^3 / 2^3 conv on the MXU (measured
-  >100x faster than table gathers on the ScoreNet lattice);
-- submanifold semantics are preserved by masking every conv output to the
-  voxel occupancy pattern (empty cells hold zeros, so they contribute
-  nothing to neighbors — exactly the gather conv's sum over occupied
-  neighbors).
+Round-3 redesign, driven by per-op device profiles (docs/perf_notes.md):
+
+1. FOLDED LANES.  TPU tiles are (8 sublanes, 128 lanes); any tensor whose
+   minor dim is the channel count C pads lanes 128/C-fold — at the U-Net's
+   C=16/32 levels that is an 8x/4x tax on every byte of HBM traffic and
+   memory (the round-2 OOM's single biggest buffer was 3.2GB padded for
+   410MB of data).  All block-dense tensors here fold the z axis into the
+   lanes: layout (NB+1, 8, 8, 8*C) — 8C >= 128 for every level, so lanes
+   are always fully packed.  A z-column of one (x, y) position is 8C
+   contiguous lanes.
+
+2. CONV AS BANDED MATMULS.  With z folded, the 3^3 conv is 9 matmuls (one
+   per (ox, oy) neighbor column): out[:, x, y, :] += halo[:, x+ox, y+oy, :]
+   @ W2[(ox,oy)], where W2 (10C, 8C') is the z-band matrix holding w[oz] on
+   its (1+oz)-th block diagonal.  The off-band zeros cost ~3.3x the
+   nominal conv FLOPs — noise next to the MXU's throughput — and every
+   operand has fully-packed lanes.
+
+3. HALO BY CONCAT, TWO STAGES.  First a global z-halo: Zfull (NB+1, 8, 8,
+   10C) = lane-concat [gather(z-lo face) | core | gather(z-hi face)] — two
+   contiguous row gathers.  Then per chunk, the (x, y) halo is built from
+   8 gathered Zfull faces with a 3x3 nested spatial concat (one write
+   pass).  Never ``.at[].set`` chains: XLA lowers each dynamic-update-slice
+   in a chain to a full-tensor copy (measured ~2x the conv cost in the
+   round-2 implementation).
+
+4. NO OCCUPANCY TENSORS.  Submanifold masking falls out of the row
+   contract: ``rows_to_blocks`` scatters only valid rows into zeros, so
+   empty cells are zero in every conv INPUT, and outputs are only ever
+   read back through ``blocks_to_rows`` at valid rows (invalid rows read
+   the all-zero pad block).  The old per-conv occupancy build/multiply
+   (4 full passes) is deleted.
+
+5. CUSTOM VJPs, rows -> rows.  Residuals saved for backward are row-space
+   (cap, C) only.  dx reuses the forward kernels (a submanifold conv is
+   self-transpose under kernel mirroring; down/up stride-2 convs are exact
+   transposes of each other).  dw accumulates per-(ox,oy) Gram matrices
+   G = view^T dy (10C, 8C') with the same chunked halo walk, then extracts
+   the 27 kernel taps from the band diagonals with einsum.
 
 Reference parity: same math as MinkowskiEngine's subm/stride-2/transposed
 convs used via ``model/common.py:73-118``; numerics vs the gather conv are
-oracle-tested in tests/test_block_conv.py.
+oracle-tested (values and gradients) in tests/test_block_conv.py.
 
-All functions are per-scene; callers vmap over the batch.  ``dense``
-feature layout: (NB+1, 512, C) with block index NB the all-zero pad block
-(INVALID target of every table).
+All functions are per-scene; callers vmap over the batch.  The legacy
+dense API (``subm_conv``/``down_conv``/``up_conv`` on (NB+1, 512, C) with
+an occupancy argument) is kept as thin wrappers for the oracle tests.
 """
 
 from __future__ import annotations
@@ -39,6 +70,21 @@ _OFFS3 = [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
           for dz in (-1, 0, 1)]
 _OFFS2 = [(dx, dy, dz) for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)]
 
+_K3 = {off: k for k, off in enumerate(_OFFS3)}
+_K2 = {off: k for k, off in enumerate(_OFFS2)}
+
+# Blocks processed per sequential chunk of the subm/down/up convs: bounds
+# the halo transient to ~_BCHUNK * 100 * 10C per vmap lane.
+_BCHUNK = 512
+
+# input-channel slice width for the wide (e.g. 134-dim) input conv: bounds
+# the global folded-dense + Zfull transients (sum of convs == conv)
+_CCHUNK = 32
+
+
+# ---------------------------------------------------------------------------
+# row <-> folded block-dense conversion
+# ---------------------------------------------------------------------------
 
 def rows_to_blocks(feats, vox2cell, valid, nbcap: int):
     """(cap, C) voxel-row feats -> (NB+1, 512, C) block-dense (pad block 0)."""
@@ -66,51 +112,23 @@ def block_occupancy(vox2cell, valid, nbcap: int):
     return occ.reshape(nbcap + 1, BLOCK_CELLS)
 
 
-def _halo_ranges(o: int):
-    """Per-axis (dst_start, dst_stop, src_start, src_stop) in the 10^3 halo."""
-    if o == -1:
-        return 0, 1, BLOCK - 1, BLOCK
-    if o == 0:
-        return 1, 1 + BLOCK, 0, BLOCK
-    return 1 + BLOCK, 2 + BLOCK, 0, 1
+def rows_to_folded(feats, vox2cell, valid, nbcap: int):
+    """(cap, C) rows -> (NB+1, 8, 8, 8C) folded block-dense."""
+    c = feats.shape[-1]
+    dense = rows_to_blocks(feats, vox2cell, valid, nbcap)
+    return dense.reshape(nbcap + 1, BLOCK, BLOCK, BLOCK * c)
 
 
-@functools.lru_cache(maxsize=None)
-def _face_cells(ox: int, oy: int, oz: int) -> np.ndarray:
-    """Static linear cell ids a neighbor at offset (ox,oy,oz) contributes.
-
-    Only the facing plane/edge/corner of a neighbor block enters the halo
-    (64/8/1 cells); pre-slicing before the block gather cuts the random HBM
-    traffic ~27x vs gathering whole 512-cell blocks.
-    """
-    axes = []
-    for o in (ox, oy, oz):
-        _, _, s0, s1 = _halo_ranges(o)
-        axes.append(list(range(s0, s1)))
-    return np.asarray(
-        [(x * BLOCK + y) * BLOCK + z
-         for x in axes[0] for y in axes[1] for z in axes[2]],
-        np.int32,
-    )
+def folded_to_rows(folded, vox2cell):
+    """(NB+1, 8, 8, 8C) folded -> (cap, C) rows."""
+    nb1 = folded.shape[0]
+    c = folded.shape[-1] // BLOCK
+    return folded.reshape(nb1 * BLOCK_CELLS, c)[vox2cell]
 
 
-def _conv3d(x, w, strides):
-    """NDHWC conv, VALID, f32 accumulation, output in x.dtype."""
-    out = jax.lax.conv_general_dilated(
-        x, w.astype(x.dtype), window_strides=strides, padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
-    )
-    return out.astype(x.dtype)
-
-
-# Blocks processed per sequential chunk of the subm/down/up convs.  A
-# flagship level-0 halo at full width is (6554, 10^3, C) — multiplied by
-# B under vmap that alone OOMs 16GB HBM at compile; chunking bounds every
-# transient to ~chunk * 10^3 * C while the face pre-slices (computed once
-# per conv) stay whole.
-_BCHUNK = 512
-
+# ---------------------------------------------------------------------------
+# chunking helpers
+# ---------------------------------------------------------------------------
 
 def _pad_rows_to(a, mult, fill):
     pad = (-a.shape[0]) % mult
@@ -120,167 +138,455 @@ def _pad_rows_to(a, mult, fill):
     return jnp.concatenate([a, filler], axis=0), pad
 
 
+def _chunk_arrays(arrays, rows, fills):
+    pad = (-rows) % _BCHUNK
+    n_chunks = (rows + pad) // _BCHUNK
+
+    def prep(a, fill):
+        ap, _ = _pad_rows_to(a, _BCHUNK, fill)
+        return ap.reshape((n_chunks, _BCHUNK) + a.shape[1:])
+
+    return tuple(prep(a, f) for a, f in zip(arrays, fills))
+
+
+def _chunked_map(chunk_fn, arrays, rows, fills):
+    """lax.map over _BCHUNK-row chunks; output rows align with input rows."""
+    chunks = _chunk_arrays(arrays, rows, fills)
+    out = jax.lax.map(chunk_fn, chunks)
+    pad = (-rows) % _BCHUNK
+    return out.reshape((rows + pad,) + out.shape[2:])[:rows]
+
+
+def _chunked_sum(chunk_fn, arrays, rows, fills):
+    """Sum of per-chunk reductions (for weight gradients)."""
+    chunks = _chunk_arrays(arrays, rows, fills)
+    return jax.lax.map(chunk_fn, chunks).sum(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# band-matrix construction (tiny tensors, traced from w each call)
+# ---------------------------------------------------------------------------
+
+def _band_w2_subm(w, ox, oy):
+    """(10*Cin, 8*Cout) z-band matrix for subm offsets (ox, oy, *).
+
+    W2[(z+1+oz)*Cin + ci, z*Cout + co] = w[k(ox,oy,oz), ci, co].
+    """
+    cin, cout = w.shape[1], w.shape[2]
+    b = jnp.zeros((10, 8, cin, cout), w.dtype)
+    z = jnp.arange(8)
+    for oz in (-1, 0, 1):
+        b = b.at[z + 1 + oz, z].set(w[_K3[(ox, oy, oz)]])
+    return b.transpose(0, 2, 1, 3).reshape(10 * cin, 8 * cout)
+
+
+def _band_w2_down(w, ox, oy):
+    """(16*Cin, 8*Cout) band matrix for the stride-2 down conv.
+
+    out_c[z] = sum_oz in_f[2z + oz] w[(ox,oy,oz)], oz in {0, 1}.
+    """
+    cin, cout = w.shape[1], w.shape[2]
+    b = jnp.zeros((16, 8, cin, cout), w.dtype)
+    z = jnp.arange(8)
+    for oz in (0, 1):
+        b = b.at[2 * z + oz, z].set(w[_K2[(ox, oy, oz)]])
+    return b.transpose(0, 2, 1, 3).reshape(16 * cin, 8 * cout)
+
+
+def _band_w2_up(w, ex, ey):
+    """(4*Cin, 8*Cout) band matrix for the transposed stride-2 conv.
+
+    out_f[2zq + ez] = in_c[zq] w[(ex,ey,ez)], ez in {0, 1}.
+    """
+    cin, cout = w.shape[1], w.shape[2]
+    b = jnp.zeros((4, 8, cin, cout), w.dtype)
+    zq = jnp.arange(4)
+    for ez in (0, 1):
+        b = b.at[zq, 2 * zq + ez].set(w[_K2[(ex, ey, ez)]])
+    return b.transpose(0, 2, 1, 3).reshape(4 * cin, 8 * cout)
+
+
+def _mm(a, b2, out_dtype):
+    """(..., K) x (K, N) matmul with f32 accumulation."""
+    return jnp.matmul(
+        a, b2.astype(a.dtype), preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# submanifold 3^3 conv (folded)
+# ---------------------------------------------------------------------------
+
+def _xy_slice(folded, ox, oy):
+    """Facing xy-part of every block for a neighbor at offset (ox, oy)."""
+    f = folded
+    if ox == -1:
+        f = f[:, BLOCK - 1:BLOCK]
+    elif ox == 1:
+        f = f[:, 0:1]
+    if oy == -1:
+        f = f[:, :, BLOCK - 1:BLOCK]
+    elif oy == 1:
+        f = f[:, :, 0:1]
+    return f
+
+
+def _halo_faces(folded, nbcap, c):
+    """26 flat per-offset source arrays, one contiguous row per block.
+
+    Keyed (ox, oy, part) with part in {-1: z=7 line, 0: full z, 1: z=0
+    line} — the three z-sections a piece of the halo column at (ox, oy)
+    lane-concatenates.  Every diagonal neighbor is addressed through its
+    OWN block_nbr entry, so a corner-only neighbor (facing block absent)
+    still contributes — matching the gather conv exactly.
+    """
+    faces = {}
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            xy = _xy_slice(folded, ox, oy)
+            if (ox, oy) != (0, 0):
+                faces[(ox, oy, 0)] = xy.reshape(nbcap + 1, -1)
+            faces[(ox, oy, -1)] = xy[..., (BLOCK - 1) * c:].reshape(
+                nbcap + 1, -1)
+            faces[(ox, oy, 1)] = xy[..., :c].reshape(nbcap + 1, -1)
+    return faces
+
+
+def _halo_build(core_c, faces, nbr_c, cin):
+    """(CH,8,8,8C) core chunk + gathered pieces -> (CH,10,10,10C) halo.
+
+    One contiguous row gather per (offset, z-section) = 26 gathers, then
+    a lane concat per column and a 3x3 nested spatial concat — a single
+    write pass over the halo.
+    """
+    ch = nbr_c.shape[0]
+    planes = []
+    for ox in (-1, 0, 1):
+        cols = []
+        for oy in (-1, 0, 1):
+            sx = 1 if ox else BLOCK
+            sy = 1 if oy else BLOCK
+            lo = faces[(ox, oy, -1)][nbr_c[:, _K3[(ox, oy, -1)]]].reshape(
+                ch, sx, sy, cin)
+            hi = faces[(ox, oy, 1)][nbr_c[:, _K3[(ox, oy, 1)]]].reshape(
+                ch, sx, sy, cin)
+            if (ox, oy) == (0, 0):
+                mid = core_c
+            else:
+                mid = faces[(ox, oy, 0)][nbr_c[:, _K3[(ox, oy, 0)]]].reshape(
+                    ch, sx, sy, BLOCK * cin)
+            cols.append(jnp.concatenate([lo, mid, hi], axis=-1))
+        planes.append(jnp.concatenate(cols, axis=2))
+    return jnp.concatenate(planes, axis=1)
+
+
+def _subm_folded(folded, block_nbr, w, cout_dtype=None):
+    """(NB+1, 8, 8, 8Cin) folded -> (NB+1, 8, 8, 8Cout); w (27, Cin, Cout)."""
+    nbcap = block_nbr.shape[0]
+    cin = folded.shape[-1] // BLOCK
+    cout = w.shape[-1]
+    dt = cout_dtype or folded.dtype
+    faces = _halo_faces(folded, nbcap, cin)
+    w2 = {(ox, oy): _band_w2_subm(w, ox, oy)
+          for ox in (-1, 0, 1) for oy in (-1, 0, 1)}
+
+    def chunk_fn(args):
+        nbr_c, core_c = args
+        halo = _halo_build(core_c, faces, nbr_c, cin)
+        out = None
+        for (oxy, mat) in w2.items():
+            ox, oy = oxy
+            view = halo[:, 1 + ox:9 + ox, 1 + oy:9 + oy, :]
+            part = _mm(view, mat, jnp.float32)
+            out = part if out is None else out + part
+        return out.astype(dt)
+
+    nbr_full = jnp.concatenate(
+        [block_nbr, jnp.full((1, 27), nbcap, block_nbr.dtype)], axis=0)
+    return _chunked_map(
+        chunk_fn, (nbr_full, folded), nbcap + 1, (nbcap, 0))
+
+
+def _subm_dw_folded(folded_x, block_nbr, dy_folded):
+    """(27, Cin, Cout) weight grad via per-(ox,oy) Gram matrices."""
+    nbcap = block_nbr.shape[0]
+    cin = folded_x.shape[-1] // BLOCK
+    cout = dy_folded.shape[-1] // BLOCK
+    faces = _halo_faces(folded_x, nbcap, cin)
+
+    def chunk_fn(args):
+        nbr_c, core_c, dy_c = args
+        ch = nbr_c.shape[0]
+        halo = _halo_build(core_c, faces, nbr_c, cin)
+        dyf = dy_c.reshape(ch * BLOCK * BLOCK, 8 * cout)
+        gs = []
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                view = halo[:, 1 + ox:9 + ox, 1 + oy:9 + oy, :].reshape(
+                    ch * BLOCK * BLOCK, 10 * cin)
+                gs.append(jnp.einsum(
+                    "nk,nm->km", view, dyf,
+                    preferred_element_type=jnp.float32))
+        return jnp.stack(gs)                    # (9, 10Cin, 8Cout)
+
+    nbr_full = jnp.concatenate(
+        [block_nbr, jnp.full((1, 27), nbcap, block_nbr.dtype)], axis=0)
+    g9 = _chunked_sum(
+        chunk_fn, (nbr_full, folded_x, dy_folded), nbcap + 1, (nbcap, 0, 0))
+    # extract the 27 taps from the band diagonals
+    dws = [None] * 27
+    i = 0
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            g4 = g9[i].reshape(10, cin, 8, cout)
+            i += 1
+            for oz in (-1, 0, 1):
+                gs = g4[1 + oz:9 + oz]          # (8, Cin, 8, Cout)
+                dws[_K3[(ox, oy, oz)]] = jnp.einsum(
+                    "zczd->cd", gs, preferred_element_type=jnp.float32)
+    return jnp.stack(dws)
+
+
+# ---------------------------------------------------------------------------
+# stride-2 down conv (folded)
+# ---------------------------------------------------------------------------
+
+def _down_folded(folded_f, block_child, nbf, w, cout_dtype=None):
+    """fine (NBf+1, 8,8,8Cin) -> coarse (NBc+1, 8,8,8Cout); w (8,Cin,Cout)."""
+    nbc = block_child.shape[0]
+    cin = folded_f.shape[-1] // BLOCK
+    cout = w.shape[-1]
+    dt = cout_dtype or folded_f.dtype
+    dflat = folded_f.reshape(nbf + 1, -1)
+    w2 = {(ox, oy): _band_w2_down(w, ox, oy)
+          for ox in (0, 1) for oy in (0, 1)}
+
+    def chunk_fn(args):
+        (child_c,) = args
+        ch = child_c.shape[0]
+
+        def blk(k):
+            return dflat[child_c[:, k]].reshape(ch, BLOCK, BLOCK, 8 * cin)
+
+        # (CH, 16, 16, 16Cin) fine volume: z pairs lane-concat, then 2x2
+        planes = []
+        for ox in (0, 1):
+            cols = []
+            for oy in (0, 1):
+                lo = blk(_K2[(ox, oy, 0)])
+                hi = blk(_K2[(ox, oy, 1)])
+                cols.append(jnp.concatenate([lo, hi], axis=-1))
+            planes.append(jnp.concatenate(cols, axis=2))
+        vol = jnp.concatenate(planes, axis=1)
+        out = None
+        for (oxy, mat) in w2.items():
+            ox, oy = oxy
+            view = vol[:, ox::2, oy::2, :]
+            part = _mm(view, mat, jnp.float32)
+            out = part if out is None else out + part
+        return out.astype(dt)
+
+    child_full = jnp.concatenate(
+        [block_child, jnp.full((1, 8), nbf, block_child.dtype)], axis=0)
+    return _chunked_map(chunk_fn, (child_full,), nbc + 1, (nbf,))
+
+
+def _down_dw_folded(folded_f, block_child, nbf, dy_folded_c):
+    """(8, Cin, Cout) weight grad for the down conv."""
+    nbc = block_child.shape[0]
+    cin = folded_f.shape[-1] // BLOCK
+    cout = dy_folded_c.shape[-1] // BLOCK
+    dflat = folded_f.reshape(nbf + 1, -1)
+
+    def chunk_fn(args):
+        child_c, dy_c = args
+        ch = child_c.shape[0]
+
+        def blk(k):
+            return dflat[child_c[:, k]].reshape(ch, BLOCK, BLOCK, 8 * cin)
+
+        planes = []
+        for ox in (0, 1):
+            cols = []
+            for oy in (0, 1):
+                lo = blk(_K2[(ox, oy, 0)])
+                hi = blk(_K2[(ox, oy, 1)])
+                cols.append(jnp.concatenate([lo, hi], axis=-1))
+            planes.append(jnp.concatenate(cols, axis=2))
+        vol = jnp.concatenate(planes, axis=1)
+        dyf = dy_c.reshape(ch * BLOCK * BLOCK, 8 * cout)
+        gs = []
+        for ox in (0, 1):
+            for oy in (0, 1):
+                view = vol[:, ox::2, oy::2, :].reshape(
+                    ch * BLOCK * BLOCK, 16 * cin)
+                gs.append(jnp.einsum(
+                    "nk,nm->km", view, dyf,
+                    preferred_element_type=jnp.float32))
+        return jnp.stack(gs)                    # (4, 16Cin, 8Cout)
+
+    child_full = jnp.concatenate(
+        [block_child, jnp.full((1, 8), nbf, block_child.dtype)], axis=0)
+    g4 = _chunked_sum(
+        chunk_fn, (child_full, dy_folded_c), nbc + 1, (nbf, 0))
+    dws = [None] * 8
+    i = 0
+    for ox in (0, 1):
+        for oy in (0, 1):
+            g = g4[i].reshape(16, cin, 8, cout)
+            i += 1
+            for oz in (0, 1):
+                gs = g[oz::2]                  # rows 2z+oz -> (8, Cin, 8, Cout)
+                dws[_K2[(ox, oy, oz)]] = jnp.einsum(
+                    "zczd->cd", gs, preferred_element_type=jnp.float32)
+    return jnp.stack(dws)
+
+
+# ---------------------------------------------------------------------------
+# transposed stride-2 up conv (folded)
+# ---------------------------------------------------------------------------
+
+def _quad_rows(block_parent, block_quad, nbcap_c):
+    """Combined (quad, parent) -> row ids into the stacked quad array."""
+    return block_quad.astype(jnp.int32) * (nbcap_c + 1) + block_parent
+
+
+def _quad_stack_folded(folded_c, nbcap_c, cin):
+    """(NBc+1, 8,8,8C) -> (8*(NBc+1), 4*4*4C) per-quadrant flat rows.
+
+    Row q*(NBc+1)+p holds quadrant q of coarse block p (a (4,4,4C/2)...
+    (4,4,4*cin) folded sub-volume), so the per-chunk lookup for fine block
+    f is ONE contiguous row gather.
+    """
+    h = BLOCK // 2
+    quads = []
+    for q in range(8):
+        qx, qy, qz = (q >> 2) & 1, (q >> 1) & 1, q & 1
+        sub = folded_c[:, qx * h:(qx + 1) * h, qy * h:(qy + 1) * h,
+                       qz * h * cin:(qz + 1) * h * cin]
+        quads.append(sub.reshape(nbcap_c + 1, -1))
+    return jnp.concatenate(quads, axis=0)
+
+
+def _interleave2(a, b, axis):
+    """Interleave two equal arrays along ``axis``: result[2i]=a[i], [2i+1]=b[i]."""
+    st = jnp.stack([a, b], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] *= 2
+    return st.reshape(shape)
+
+
+def _up_folded(folded_c, block_parent, block_quad, w, cout_dtype=None):
+    """coarse (NBc+1, 8,8,8Cin) -> fine (NBf+1, 8,8,8Cout); w (8,Cin,Cout)."""
+    nbf = block_parent.shape[0]
+    nbcap_c = folded_c.shape[0] - 1
+    cin = folded_c.shape[-1] // BLOCK
+    cout = w.shape[-1]
+    dt = cout_dtype or folded_c.dtype
+    h = BLOCK // 2
+    quads = _quad_stack_folded(folded_c, nbcap_c, cin)
+    w2 = {(ex, ey): _band_w2_up(w, ex, ey)
+          for ex in (0, 1) for ey in (0, 1)}
+
+    def chunk_fn(args):
+        (rows_c,) = args
+        ch = rows_c.shape[0]
+        quad = quads[rows_c].reshape(ch, h, h, h * cin)    # (CH,4,4,4Cin)
+        outs = {}
+        for (exy, mat) in w2.items():
+            outs[exy] = _mm(quad, mat, jnp.float32)        # (CH,4,4,8Cout)
+        row0 = _interleave2(outs[(0, 0)], outs[(0, 1)], axis=2)
+        row1 = _interleave2(outs[(1, 0)], outs[(1, 1)], axis=2)
+        return _interleave2(row0, row1, axis=1).astype(dt)  # (CH,8,8,8Cout)
+
+    rows = _quad_rows(block_parent, block_quad, nbcap_c)
+    rows_full = jnp.concatenate(
+        [rows, jnp.asarray([nbcap_c], jnp.int32)], axis=0)
+    return _chunked_map(chunk_fn, (rows_full,), nbf + 1, (nbcap_c,))
+
+
+def _up_dw_folded(folded_c, block_parent, block_quad, dy_folded_f):
+    """(8, Cin, Cout) weight grad for the transposed stride-2 conv."""
+    nbf = block_parent.shape[0]
+    nbcap_c = folded_c.shape[0] - 1
+    cin = folded_c.shape[-1] // BLOCK
+    cout = dy_folded_f.shape[-1] // BLOCK
+    h = BLOCK // 2
+    quads = _quad_stack_folded(folded_c, nbcap_c, cin)
+
+    def chunk_fn(args):
+        rows_c, dy_c = args
+        ch = rows_c.shape[0]
+        quad = quads[rows_c].reshape(ch * h * h, h * cin)
+        gs = []
+        for ex in (0, 1):
+            for ey in (0, 1):
+                view = dy_c[:, ex::2, ey::2, :].reshape(
+                    ch * h * h, 8 * cout)
+                gs.append(jnp.einsum(
+                    "nk,nm->km", quad, view,
+                    preferred_element_type=jnp.float32))
+        return jnp.stack(gs)                    # (4, 4Cin, 8Cout)
+
+    rows = _quad_rows(block_parent, block_quad, nbcap_c)
+    rows_full = jnp.concatenate(
+        [rows, jnp.asarray([nbcap_c], jnp.int32)], axis=0)
+    g4 = _chunked_sum(
+        chunk_fn, (rows_full, dy_folded_f), nbf + 1, (nbcap_c, 0))
+    dws = [None] * 8
+    i = 0
+    for ex in (0, 1):
+        for ey in (0, 1):
+            g = g4[i].reshape(h, cin, 8, cout)   # (zq, Cin, zout, Cout)
+            i += 1
+            for ez in (0, 1):
+                gs = g[:, :, ez::2]             # zout = 2zq+ez -> (4,Cin,4,Cout)
+                dws[_K2[(ex, ey, ez)]] = jnp.einsum(
+                    "zczd->cd", gs, preferred_element_type=jnp.float32)
+    return jnp.stack(dws)
+
+
+# ---------------------------------------------------------------------------
+# legacy dense API (oracle tests; ScoreNet does not use these)
+# ---------------------------------------------------------------------------
+
+def _fold(dense):
+    nb1 = dense.shape[0]
+    c = dense.shape[-1]
+    return dense.reshape(nb1, BLOCK, BLOCK, BLOCK * c)
+
+
+def _unfold(folded):
+    nb1 = folded.shape[0]
+    c = folded.shape[-1] // BLOCK
+    return folded.reshape(nb1, BLOCK_CELLS, c)
+
+
 def subm_conv(dense, occ, block_nbr, w):
     """Submanifold 3^3 conv: (NB+1, 512, Cin) -> (NB+1, 512, Cout).
 
-    w: (27, Cin, Cout) — same parameter layout (and offset order,
-    ``_offsets(3)`` row-major) as the gather conv, so weights are
-    interchangeable between implementations.
+    w: (27, Cin, Cout), offset order ``_offsets(3)`` row-major — weights
+    are interchangeable with the gather conv.
     """
-    nbcap = dense.shape[0] - 1
-    cin = dense.shape[-1]
-    cout = w.shape[-1]
-    d = dense.reshape(nbcap + 1, BLOCK, BLOCK, BLOCK, cin)
-    # face pre-slices once per conv: the random HBM access then moves only
-    # the facing plane/edge/corner (64/8/1 cells), not whole 512-cell blocks
-    faces = []
-    for k, (ox, oy, oz) in enumerate(_OFFS3):
-        if (ox, oy, oz) == (0, 0, 0):
-            faces.append(None)
-        else:
-            cells = jnp.asarray(_face_cells(ox, oy, oz))
-            faces.append(dense[:, cells, :])         # (NB+1, n_k, C)
-    wk = w.reshape(3, 3, 3, cin, cout)
-
-    def chunk_fn(args):
-        nbr_c, d_c, occ_c = args                     # (CH,27), (CH,8^3...), (CH,512)
-        ch = nbr_c.shape[0]
-        halo = jnp.zeros((ch, BLOCK + 2, BLOCK + 2, BLOCK + 2, cin),
-                         dense.dtype)
-        for k, (ox, oy, oz) in enumerate(_OFFS3):
-            dx0, dx1, sx0, sx1 = _halo_ranges(ox)
-            dy0, dy1, sy0, sy1 = _halo_ranges(oy)
-            dz0, dz1, sz0, sz1 = _halo_ranges(oz)
-            if (ox, oy, oz) == (0, 0, 0):
-                src = d_c[:, sx0:sx1, sy0:sy1, sz0:sz1]
-            else:
-                src = faces[k][nbr_c[:, k]].reshape(
-                    ch, dx1 - dx0, dy1 - dy0, dz1 - dz0, cin
-                )
-            halo = halo.at[:, dx0:dx1, dy0:dy1, dz0:dz1].set(src)
-        out = _conv3d(halo, wk, (1, 1, 1))
-        return out.reshape(ch, BLOCK_CELLS, cout) * occ_c[..., None]
-
-    nbr_p, pad = _pad_rows_to(block_nbr, _BCHUNK, nbcap)
-    d_p, _ = _pad_rows_to(d[:nbcap], _BCHUNK, 0)
-    occ_p, _ = _pad_rows_to(occ[:nbcap], _BCHUNK, 0)
-    n_chunks = nbr_p.shape[0] // _BCHUNK
-
-    def reshape_c(a):
-        return a.reshape((n_chunks, _BCHUNK) + a.shape[1:])
-
-    # remat per chunk: the backward of a plain lax.map saves every chunk's
-    # conv residuals (the full halo again) — recompute them instead
-    out = jax.lax.map(
-        jax.checkpoint(chunk_fn),
-        (reshape_c(nbr_p), reshape_c(d_p), reshape_c(occ_p))
-    ).reshape(nbcap + pad, BLOCK_CELLS, cout)[:nbcap]
-    return jnp.concatenate(
-        [out, jnp.zeros((1, BLOCK_CELLS, cout), out.dtype)], axis=0
-    )
+    out = _unfold(_subm_folded(_fold(dense), block_nbr, w))
+    return out * occ[..., None]
 
 
 def down_conv(dense_f, block_child, occ_c, w):
-    """Stride-2 kernel-2 conv: fine blocks -> coarse blocks.
-
-    block_child: (NBc, 8) fine-block ids at 2*bc + {0,1}^3 (INVALID = NBf).
-    w: (8, Cin, Cout), offset order ``_offsets(2)``.
-    """
+    """Stride-2 kernel-2 conv: fine blocks -> coarse blocks."""
     nbf = dense_f.shape[0] - 1
-    nbc = block_child.shape[0]
-    cin = dense_f.shape[-1]
-    cout = w.shape[-1]
-    d = dense_f.reshape(nbf + 1, BLOCK, BLOCK, BLOCK, cin)
-    wk = w.reshape(2, 2, 2, cin, cout)
-
-    def chunk_fn(args):
-        child_c, occ_cc = args
-        ch = child_c.shape[0]
-        vol = jnp.zeros((ch, 2 * BLOCK, 2 * BLOCK, 2 * BLOCK, cin),
-                        dense_f.dtype)
-        for k, (ox, oy, oz) in enumerate(_OFFS2):
-            vol = vol.at[
-                :, ox * BLOCK:(ox + 1) * BLOCK, oy * BLOCK:(oy + 1) * BLOCK,
-                oz * BLOCK:(oz + 1) * BLOCK,
-            ].set(d[child_c[:, k]])
-        out = _conv3d(vol, wk, (2, 2, 2))
-        return out.reshape(ch, BLOCK_CELLS, cout) * occ_cc[..., None]
-
-    child_p, pad = _pad_rows_to(block_child, _BCHUNK, nbf)
-    occ_p, _ = _pad_rows_to(occ_c[:nbc], _BCHUNK, 0)
-    n_chunks = child_p.shape[0] // _BCHUNK
-    out = jax.lax.map(
-        jax.checkpoint(chunk_fn),
-        (child_p.reshape(n_chunks, _BCHUNK, 8),
-         occ_p.reshape(n_chunks, _BCHUNK, BLOCK_CELLS)),
-    ).reshape(nbc + pad, BLOCK_CELLS, cout)[:nbc]
-    return jnp.concatenate(
-        [out, jnp.zeros((1, BLOCK_CELLS, cout), out.dtype)], axis=0
-    )
-
-
-@functools.lru_cache(maxsize=None)
-def _quad_cells() -> np.ndarray:
-    """(8, 64) linear cell ids of each (4,4,4) quadrant of an 8^3 block."""
-    h = BLOCK // 2
-    out = np.empty((8, h * h * h), np.int32)
-    for q in range(8):
-        qx, qy, qz = (q >> 2) & 1, (q >> 1) & 1, q & 1
-        idx = []
-        for i in range(h):
-            for j in range(h):
-                for k in range(h):
-                    x, y, z = qx * h + i, qy * h + j, qz * h + k
-                    idx.append((x * BLOCK + y) * BLOCK + z)
-        out[q] = idx
-    return out
+    out = _unfold(_down_folded(_fold(dense_f), block_child, nbf, w))
+    return out * occ_c[..., None]
 
 
 def up_conv(dense_c, block_parent, block_quad, occ_f, w):
     """Transposed stride-2 kernel-2 conv: coarse blocks -> fine blocks.
 
-    Each fine block reads the (4,4,4) quadrant of its parent coarse block
-    and expands it 2x; out[2p + o] = in[p] @ w[o] (matches the row-space
-    ``upsample_table`` semantics: fine voxel f reads parent f>>1 under
-    kernel offset f mod 2).
+    out[2p + o] = in[p] @ w[o] (matches the row-space ``upsample_table``
+    semantics: fine voxel f reads parent f>>1 under kernel offset f mod 2).
     """
-    nbf = block_parent.shape[0]
-    cin = dense_c.shape[-1]
-    cout = w.shape[-1]
-    h = BLOCK // 2
-    # conv_transpose applies the kernel spatially flipped; pre-flip so
-    # out[2p + o] = in[p] @ w[o] (the upsample_table semantics)
-    wk = w.reshape(2, 2, 2, cin, cout)[::-1, ::-1, ::-1]
-    quad_cells = jnp.asarray(_quad_cells())
-
-    def chunk_fn(args):
-        parent_c, quad_c, occ_c = args
-        ch = parent_c.shape[0]
-        par = dense_c[parent_c]                        # (CH, 512, Cin)
-        cells = quad_cells[quad_c]                     # (CH, 64)
-        sub = jnp.take_along_axis(par, cells[..., None], axis=1)
-        sub = sub.reshape(ch, h, h, h, cin)
-        out = jax.lax.conv_transpose(
-            sub, wk.astype(sub.dtype),
-            strides=(2, 2, 2), padding="VALID",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        ).astype(dense_c.dtype)
-        return out.reshape(ch, BLOCK_CELLS, cout) * occ_c[..., None]
-
-    nbcap_c = dense_c.shape[0] - 1
-    parent_p, pad = _pad_rows_to(block_parent, _BCHUNK, nbcap_c)
-    quad_p, _ = _pad_rows_to(block_quad, _BCHUNK, 0)
-    occ_p, _ = _pad_rows_to(occ_f[:nbf], _BCHUNK, 0)
-    n_chunks = parent_p.shape[0] // _BCHUNK
-    out = jax.lax.map(
-        jax.checkpoint(chunk_fn),
-        (parent_p.reshape(n_chunks, _BCHUNK),
-         quad_p.reshape(n_chunks, _BCHUNK),
-         occ_p.reshape(n_chunks, _BCHUNK, BLOCK_CELLS)),
-    ).reshape(nbf + pad, BLOCK_CELLS, cout)[:nbf]
-    return jnp.concatenate(
-        [out, jnp.zeros((1, BLOCK_CELLS, cout), out.dtype)], axis=0
-    )
+    out = _unfold(_up_folded(_fold(dense_c), block_parent, block_quad, w))
+    return out * occ_f[..., None]
 
 
 def one_by_one(dense, occ, w):
@@ -296,103 +602,26 @@ def one_by_one(dense, occ, w):
 
 
 # ---------------------------------------------------------------------------
-# Row-space ops with custom VJPs (round 3).
-#
-# Autodiff through the halo/gather machinery above materializes full-size
-# block-dense cotangents (scatter-add chains over (NB+1, 512, C) tensors and
-# their face pre-slices) — at flagship caps the U-Net backward wanted ~35GB
-# (docs/perf_notes.md).  These wrappers expose each conv as a pure
-# rows -> rows function whose VJP is hand-written:
-#
-# - residuals saved for backward are ROW-space (cap, C) only — block-dense
-#   form exists strictly transiently inside fwd and bwd;
-# - dx reuses the forward kernels: a submanifold conv is self-transpose
-#   under kernel mirroring (w_hat[k] = w[26-k]^T — the block_nbr table is
-#   symmetric by construction), and down/up stride-2 convs are exact
-#   transposes of each other (out[2p+o] = in[p] w[o]  <->
-#   out[p] = sum_o in[2p+o] w[o]);
-# - dw is computed by the same block-chunked halo walk with per-offset
-#   einsums on the MXU (f32 accumulation).
-#
-# Reference parity: replaces torch autograd through MinkowskiEngine's
-# gather/scatter conv (model/common.py:73-118) with the same math.
+# row-space ops with custom VJPs — the production API (models/blocks.py)
 # ---------------------------------------------------------------------------
-
-# input-channel slice width for the wide (e.g. 134-dim) input conv: bounds
-# every block-dense transient to ~_CCHUNK channels (sum of convs == conv)
-_CCHUNK = 64
-
 
 def _c_slices(c: int):
     return [(c0, min(c0 + _CCHUNK, c)) for c0 in range(0, c, _CCHUNK)]
 
 
-def _subm_dw(dense_x, block_nbr, dy_dense):
-    """(27, Cin, Cout) weight grad: dw[k] = sum_i x[i + off_k]^T dy[i].
-
-    Same chunked halo construction as subm_conv; per offset the kernel-grad
-    contribution is a (CH*512, Cin) x (CH*512, Cout) matmul.
-    """
-    nbcap = dense_x.shape[0] - 1
-    cin = dense_x.shape[-1]
-    cout = dy_dense.shape[-1]
-    d = dense_x.reshape(nbcap + 1, BLOCK, BLOCK, BLOCK, cin)
-    faces = []
-    for k, (ox, oy, oz) in enumerate(_OFFS3):
-        if (ox, oy, oz) == (0, 0, 0):
-            faces.append(None)
-        else:
-            cells = jnp.asarray(_face_cells(ox, oy, oz))
-            faces.append(dense_x[:, cells, :])
-
-    def chunk_fn(args):
-        nbr_c, d_c, dy_c = args
-        ch = nbr_c.shape[0]
-        halo = jnp.zeros((ch, BLOCK + 2, BLOCK + 2, BLOCK + 2, cin),
-                         dense_x.dtype)
-        for k, (ox, oy, oz) in enumerate(_OFFS3):
-            dx0, dx1, sx0, sx1 = _halo_ranges(ox)
-            dy0, dy1, sy0, sy1 = _halo_ranges(oy)
-            dz0, dz1, sz0, sz1 = _halo_ranges(oz)
-            if (ox, oy, oz) == (0, 0, 0):
-                src = d_c[:, sx0:sx1, sy0:sy1, sz0:sz1]
-            else:
-                src = faces[k][nbr_c[:, k]].reshape(
-                    ch, dx1 - dx0, dy1 - dy0, dz1 - dz0, cin
-                )
-            halo = halo.at[:, dx0:dx1, dy0:dy1, dz0:dz1].set(src)
-        dyf = dy_c.reshape(ch * BLOCK_CELLS, cout)
-        dws = []
-        for ox, oy, oz in _OFFS3:
-            view = halo[:, 1 + ox:1 + ox + BLOCK, 1 + oy:1 + oy + BLOCK,
-                        1 + oz:1 + oz + BLOCK].reshape(ch * BLOCK_CELLS, cin)
-            dws.append(jnp.einsum(
-                "nc,nd->cd", view, dyf, preferred_element_type=jnp.float32
-            ))
-        return jnp.stack(dws)                            # (27, Cin, Cout)
-
-    nbr_p, _ = _pad_rows_to(block_nbr, _BCHUNK, nbcap)
-    d_p, _ = _pad_rows_to(d[:nbcap], _BCHUNK, 0)
-    dy_p, _ = _pad_rows_to(dy_dense[:nbcap], _BCHUNK, 0)
-    n_chunks = nbr_p.shape[0] // _BCHUNK
-
-    def reshape_c(a):
-        return a.reshape((n_chunks, _BCHUNK) + a.shape[1:])
-
-    parts = jax.lax.map(
-        chunk_fn, (reshape_c(nbr_p), reshape_c(d_p), reshape_c(dy_p))
-    )
-    return parts.sum(axis=0)
-
-
-def _subm_rows_impl(feats, w, vox2cell, valid, block_nbr, occ):
+def _subm_rows_impl(feats, w, vox2cell, valid, block_nbr):
     """Channel-chunked subm conv; accumulates in row space."""
     nbcap = block_nbr.shape[0]
+    cin = feats.shape[-1]
+    if cin <= 2 * _CCHUNK:
+        folded = rows_to_folded(feats, vox2cell, valid, nbcap)
+        return folded_to_rows(
+            _subm_folded(folded, block_nbr, w), vox2cell)
     out = None
-    for c0, c1 in _c_slices(feats.shape[-1]):
-        dense = rows_to_blocks(feats[..., c0:c1], vox2cell, valid, nbcap)
-        o = subm_conv(dense, occ, block_nbr, w[:, c0:c1])
-        rows = blocks_to_rows(o, vox2cell)
+    for c0, c1 in _c_slices(cin):
+        folded = rows_to_folded(feats[..., c0:c1], vox2cell, valid, nbcap)
+        rows = folded_to_rows(
+            _subm_folded(folded, block_nbr, w[:, c0:c1]), vox2cell)
         out = rows if out is None else out + rows
     return out
 
@@ -404,9 +633,8 @@ def subm_conv_rows(feats, w, vox2cell, validf, block_nbr):
     w: (27, Cin, Cout) in the gather conv's offset order — weights remain
     interchangeable across conv implementations.
     """
-    valid = validf.astype(bool)
-    occ = block_occupancy(vox2cell, valid, block_nbr.shape[0])
-    return _subm_rows_impl(feats, w, vox2cell, valid, block_nbr, occ)
+    return _subm_rows_impl(feats, w, vox2cell, validf.astype(bool),
+                           block_nbr)
 
 
 def _subm_rows_fwd(feats, w, vox2cell, validf, block_nbr):
@@ -418,103 +646,21 @@ def _subm_rows_bwd(res, dy):
     feats, w, vox2cell, validf, block_nbr = res
     nbcap = block_nbr.shape[0]
     valid = validf.astype(bool)
-    occ = block_occupancy(vox2cell, valid, nbcap)
     # dx: subm conv of dy with the mirrored-transposed kernel (see header)
     w_hat = w[::-1].transpose(0, 2, 1)               # (27, Cout, Cin)
     dy = dy.astype(feats.dtype)
-    dx = _subm_rows_impl(dy, w_hat, vox2cell, valid, block_nbr, occ)
+    dx = _subm_rows_impl(dy, w_hat, vox2cell, valid, block_nbr)
     # dw: chunk input channels like the forward
-    dy_dense = rows_to_blocks(dy, vox2cell, valid, nbcap)
+    dy_folded = rows_to_folded(dy, vox2cell, valid, nbcap)
     dws = []
     for c0, c1 in _c_slices(feats.shape[-1]):
-        dense_x = rows_to_blocks(feats[..., c0:c1], vox2cell, valid, nbcap)
-        dws.append(_subm_dw(dense_x, block_nbr, dy_dense))
+        folded_x = rows_to_folded(feats[..., c0:c1], vox2cell, valid, nbcap)
+        dws.append(_subm_dw_folded(folded_x, block_nbr, dy_folded))
     dw = jnp.concatenate(dws, axis=1).astype(w.dtype)
     return dx.astype(feats.dtype), dw, None, None, None
 
 
 subm_conv_rows.defvjp(_subm_rows_fwd, _subm_rows_bwd)
-
-
-def _down_dw(dense_f, block_child, dy_dense_c):
-    """(8, Cin, Cout) weight grad for the stride-2 down conv."""
-    nbf = dense_f.shape[0] - 1
-    nbc = block_child.shape[0]
-    cin = dense_f.shape[-1]
-    cout = dy_dense_c.shape[-1]
-    d = dense_f.reshape(nbf + 1, BLOCK, BLOCK, BLOCK, cin)
-
-    def chunk_fn(args):
-        child_c, dy_c = args
-        ch = child_c.shape[0]
-        vol = jnp.zeros((ch, 2 * BLOCK, 2 * BLOCK, 2 * BLOCK, cin),
-                        dense_f.dtype)
-        for k, (ox, oy, oz) in enumerate(_OFFS2):
-            vol = vol.at[
-                :, ox * BLOCK:(ox + 1) * BLOCK, oy * BLOCK:(oy + 1) * BLOCK,
-                oz * BLOCK:(oz + 1) * BLOCK,
-            ].set(d[child_c[:, k]])
-        dyf = dy_c.reshape(ch * BLOCK_CELLS, cout)
-        dws = []
-        for ox, oy, oz in _OFFS2:
-            view = vol[:, ox::2, oy::2, oz::2].reshape(
-                ch * BLOCK_CELLS, cin)
-            dws.append(jnp.einsum(
-                "nc,nd->cd", view, dyf, preferred_element_type=jnp.float32
-            ))
-        return jnp.stack(dws)                            # (8, Cin, Cout)
-
-    child_p, _ = _pad_rows_to(block_child, _BCHUNK, nbf)
-    dy_p, _ = _pad_rows_to(dy_dense_c[:nbc], _BCHUNK, 0)
-    n_chunks = child_p.shape[0] // _BCHUNK
-    parts = jax.lax.map(
-        chunk_fn,
-        (child_p.reshape(n_chunks, _BCHUNK, 8),
-         dy_p.reshape(n_chunks, _BCHUNK, BLOCK_CELLS, cout)),
-    )
-    return parts.sum(axis=0)
-
-
-def _up_dw(dense_c, block_parent, block_quad, dy_dense_f):
-    """(8, Cin, Cout) weight grad for the transposed stride-2 conv.
-
-    up: out_f[2p + o] = in_c[p] w[o]  =>  dw[o] = sum_p in_c[p]^T dy_f[2p+o].
-    """
-    nbf = block_parent.shape[0]
-    cin = dense_c.shape[-1]
-    cout = dy_dense_f.shape[-1]
-    h = BLOCK // 2
-    quad_cells = jnp.asarray(_quad_cells())
-
-    def chunk_fn(args):
-        parent_c, quad_c, dy_c = args
-        ch = parent_c.shape[0]
-        par = dense_c[parent_c]                        # (CH, 512, Cin)
-        cells = quad_cells[quad_c]                     # (CH, 64)
-        sub = jnp.take_along_axis(par, cells[..., None], axis=1)
-        subf = sub.reshape(ch * h * h * h, cin)
-        dyv = dy_c.reshape(ch, BLOCK, BLOCK, BLOCK, cout)
-        dws = []
-        for ox, oy, oz in _OFFS2:
-            view = dyv[:, ox::2, oy::2, oz::2].reshape(
-                ch * h * h * h, cout)
-            dws.append(jnp.einsum(
-                "nc,nd->cd", subf, view, preferred_element_type=jnp.float32
-            ))
-        return jnp.stack(dws)                            # (8, Cin, Cout)
-
-    nbcap_c = dense_c.shape[0] - 1
-    parent_p, _ = _pad_rows_to(block_parent, _BCHUNK, nbcap_c)
-    quad_p, _ = _pad_rows_to(block_quad, _BCHUNK, 0)
-    dy_p, _ = _pad_rows_to(dy_dense_f[:nbf], _BCHUNK, 0)
-    n_chunks = parent_p.shape[0] // _BCHUNK
-    parts = jax.lax.map(
-        chunk_fn,
-        (parent_p.reshape(n_chunks, _BCHUNK),
-         quad_p.reshape(n_chunks, _BCHUNK),
-         dy_p.reshape(n_chunks, _BCHUNK, BLOCK_CELLS, cout)),
-    )
-    return parts.sum(axis=0)
 
 
 @jax.custom_vjp
@@ -524,12 +670,10 @@ def down_conv_rows(feats_f, w, v2c_f, validf_f, block_child, block_parent,
 
     w: (8, Cin, Cout) in ``_offsets(2)`` order (gather-conv compatible).
     """
-    nbc = block_child.shape[0]
-    dense_f = rows_to_blocks(feats_f, v2c_f, validf_f.astype(bool),
-                             block_parent.shape[0])
-    occ_c = block_occupancy(v2c_c, validf_c.astype(bool), nbc)
-    out = down_conv(dense_f, block_child, occ_c, w)
-    return blocks_to_rows(out, v2c_c)
+    nbf = block_parent.shape[0]
+    folded_f = rows_to_folded(feats_f, v2c_f, validf_f.astype(bool), nbf)
+    out = _down_folded(folded_f, block_child, nbf, w)
+    return folded_to_rows(out, v2c_c)
 
 
 def _down_rows_fwd(feats_f, w, v2c_f, validf_f, block_child, block_parent,
@@ -548,14 +692,14 @@ def _down_rows_bwd(res, dy):
     valid_f = validf_f.astype(bool)
     valid_c = validf_c.astype(bool)
     dy = dy.astype(feats_f.dtype)
-    dy_dense_c = rows_to_blocks(dy, v2c_c, valid_c, nbc)
+    dy_folded_c = rows_to_folded(dy, v2c_c, valid_c, nbc)
     # dx: exact transpose of down is up with per-offset transposed weights
-    occ_f = block_occupancy(v2c_f, valid_f, nbf)
-    dx_dense = up_conv(dy_dense_c, block_parent, block_quad, occ_f,
-                       w.transpose(0, 2, 1))
-    dx = blocks_to_rows(dx_dense, v2c_f)
-    dense_f = rows_to_blocks(feats_f, v2c_f, valid_f, nbf)
-    dw = _down_dw(dense_f, block_child, dy_dense_c).astype(w.dtype)
+    dx_folded = _up_folded(dy_folded_c, block_parent, block_quad,
+                           w.transpose(0, 2, 1))
+    dx = folded_to_rows(dx_folded, v2c_f)
+    folded_f = rows_to_folded(feats_f, v2c_f, valid_f, nbf)
+    dw = _down_dw_folded(folded_f, block_child, nbf,
+                         dy_folded_c).astype(w.dtype)
     return (dx.astype(feats_f.dtype), dw, None, None, None, None, None,
             None, None)
 
@@ -567,12 +711,10 @@ down_conv_rows.defvjp(_down_rows_fwd, _down_rows_bwd)
 def up_conv_rows(feats_c, w, v2c_c, validf_c, block_child, block_parent,
                  block_quad, v2c_f, validf_f):
     """Row-space transposed stride-2 conv: coarse rows -> fine rows."""
-    nbf = block_parent.shape[0]
-    dense_c = rows_to_blocks(feats_c, v2c_c, validf_c.astype(bool),
-                             block_child.shape[0])
-    occ_f = block_occupancy(v2c_f, validf_f.astype(bool), nbf)
-    out = up_conv(dense_c, block_parent, block_quad, occ_f, w)
-    return blocks_to_rows(out, v2c_f)
+    nbc = block_child.shape[0]
+    folded_c = rows_to_folded(feats_c, v2c_c, validf_c.astype(bool), nbc)
+    out = _up_folded(folded_c, block_parent, block_quad, w)
+    return folded_to_rows(out, v2c_f)
 
 
 def _up_rows_fwd(feats_c, w, v2c_c, validf_c, block_child, block_parent,
@@ -591,14 +733,14 @@ def _up_rows_bwd(res, dy):
     valid_f = validf_f.astype(bool)
     valid_c = validf_c.astype(bool)
     dy = dy.astype(feats_c.dtype)
-    dy_dense_f = rows_to_blocks(dy, v2c_f, valid_f, nbf)
+    dy_folded_f = rows_to_folded(dy, v2c_f, valid_f, nbf)
     # dx: exact transpose of up is down with per-offset transposed weights
-    occ_c = block_occupancy(v2c_c, valid_c, nbc)
-    dx_dense = down_conv(dy_dense_f, block_child, occ_c,
-                         w.transpose(0, 2, 1))
-    dx = blocks_to_rows(dx_dense, v2c_c)
-    dense_c = rows_to_blocks(feats_c, v2c_c, valid_c, nbc)
-    dw = _up_dw(dense_c, block_parent, block_quad, dy_dense_f).astype(w.dtype)
+    dx_folded = _down_folded(dy_folded_f, block_child, nbf,
+                             w.transpose(0, 2, 1))
+    dx = folded_to_rows(dx_folded, v2c_c)
+    folded_c = rows_to_folded(feats_c, v2c_c, valid_c, nbc)
+    dw = _up_dw_folded(folded_c, block_parent, block_quad,
+                       dy_folded_f).astype(w.dtype)
     return (dx.astype(feats_c.dtype), dw, None, None, None, None, None,
             None, None)
 

@@ -56,9 +56,22 @@ def init_multihost(coordinator_address: Optional[str] = None,
     }
 
 
-def make_mesh(devices: Optional[Sequence] = None, axis: str = "dp") -> Mesh:
-    devs = np.asarray(devices if devices is not None else jax.devices())
-    return Mesh(devs, (axis,))
+def make_mesh(devices: Optional[Sequence] = None, axis: str = "dp",
+              batch_size: Optional[int] = None) -> Mesh:
+    """Data-parallel mesh over the available devices.
+
+    When ``batch_size`` is given, the mesh is clamped to the largest
+    device count that divides it (leading-axis sharding requires the
+    global batch to split evenly); a batch of 2 on an 8-device host
+    trains on 2 devices rather than failing to shard.
+    """
+    devs = list(devices if devices is not None else jax.devices())
+    if batch_size is not None:
+        n = len(devs)
+        while n > 1 and batch_size % n:
+            n -= 1
+        devs = devs[:n]
+    return Mesh(np.asarray(devs), (axis,))
 
 
 def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:

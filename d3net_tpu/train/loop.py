@@ -327,7 +327,7 @@ def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
     train_it, val_it = make_dataloaders(cfg, spec)
     steps_per_epoch = max(1, len(train_it))
 
-    mesh = make_mesh()
+    mesh = make_mesh(batch_size=int(cfg.data.batch_size))
     tx = make_optimizer(
         lr=cfg.train.optim.lr,
         optim=cfg.train.optim.classname,
@@ -464,7 +464,7 @@ def run_detector_training_scan(cfg: Config, run_dir: str,
     model = detector_from_cfg(cfg)
     train_it, val_it = make_dataloaders(cfg, spec)
     train_it.augment = False  # batches must be reusable across epochs
-    mesh = make_mesh()
+    mesh = make_mesh(batch_size=int(cfg.data.batch_size))
 
     batches = list(train_it)
     nb = len(batches)

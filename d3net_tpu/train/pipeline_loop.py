@@ -570,7 +570,7 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
     mode = 3 if (not cfg.model.no_captioning and not cfg.model.no_grounding) \
         else (1 if not cfg.model.no_captioning else 2)
 
-    mesh = make_mesh()
+    mesh = make_mesh(batch_size=int(cfg.data.batch_size))
     steps_per_epoch = max(1, len(train_it))
     tx = make_optimizer(
         lr=cfg.train.optim.lr, optim=cfg.train.optim.classname,
