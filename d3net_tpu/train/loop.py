@@ -444,11 +444,13 @@ def run_detector_training_scan(cfg: Config, run_dir: str,
                                max_steps: Optional[int] = None):
     """Scan-based detector training: many optimizer steps per dispatch.
 
-    All (non-augmented) batches are stacked on device once and a
-    ``lax.scan`` runs ``tpu.steps_per_dispatch`` train steps inside a single
-    XLA execution, cycling through the stacked batches. On the tunneled TPU
-    (payload re-shipped per dispatch) this amortizes the I/O across the
-    whole scan; on real hardware it simply minimizes dispatch overhead.
+    Batches are stacked per epoch and a ``lax.scan`` runs
+    ``tpu.steps_per_dispatch`` train steps inside a single XLA execution,
+    cycling through the stacked batches. On the tunneled TPU (payload
+    re-shipped per dispatch) this amortizes the I/O across the whole scan;
+    on real hardware it simply minimizes dispatch overhead.  Augmentation
+    is served by cycling ``tpu.augment_variants`` pre-built augmented
+    epoch copies, one per dispatch (see comment below).
     """
     import functools
 
@@ -463,13 +465,27 @@ def run_detector_training_scan(cfg: Config, run_dir: str,
     spec = spec_from_cfg(cfg)
     model = detector_from_cfg(cfg)
     train_it, val_it = make_dataloaders(cfg, spec)
-    train_it.augment = False  # batches must be reusable across epochs
     mesh = make_mesh(batch_size=int(cfg.data.batch_size))
 
-    batches = list(train_it)
+    # Device-batch caching vs augmentation (reference trains with the full
+    # augmentation suite, ``lib/dataset/pipeline.py:679-697``): pre-build
+    # ``tpu.augment_variants`` independently-augmented copies of the epoch
+    # (epoch-seeded loader) and cycle one per dispatch.  Static shapes make
+    # every variant share the one compiled program; with a single variant
+    # it stays device-resident, otherwise variants are re-uploaded per
+    # dispatch (the tunneled runtime re-ships the payload anyway).
+    tr = cfg.data.transform
+    aug_on = bool(tr.jitter or tr.flip or tr.rot)
+    n_var = max(1, int(cfg.tpu.get("augment_variants", 4))) if aug_on else 1
+    train_it.augment = aug_on
+    variants = []
+    for e in range(n_var):
+        train_it.epoch = e
+        batches = list(train_it)
+        variants.append(jax.tree.map(lambda *xs: np.stack(xs), *batches))
     nb = len(batches)
-    stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
-    stacked = shard_batch(stacked, mesh)  # leading axis = batch index
+    if n_var == 1:
+        variants[0] = shard_batch(variants[0], mesh)  # resident once
 
     tx = make_optimizer(
         lr=cfg.train.optim.lr, optim=cfg.train.optim.classname,
@@ -477,7 +493,7 @@ def run_detector_training_scan(cfg: Config, run_dir: str,
         step_epoch=cfg.train.step_epoch, multiplier=cfg.train.multiplier,
         steps_per_epoch=nb,
     )
-    first = jax.tree.map(lambda x: x[0], stacked)
+    first = jax.tree.map(lambda x: jnp.asarray(x[0]), variants[0])
     state = create_train_state(model, first, jax.random.key(cfg.general.manual_seed), tx)
     state = replicate(state, mesh)
     restored = ckpt.restore_last(state)
@@ -508,9 +524,14 @@ def run_detector_training_scan(cfg: Config, run_dir: str,
     rng = jax.random.key(cfg.general.manual_seed + 1)
     step = int(state.step)
     total = max_steps or (cfg.train.epochs * nb)
+    dispatch_i = 0
     while step < total:
         t0 = time.time()
-        state, metrics = dispatch(state, stacked, jax.random.fold_in(rng, step))
+        var = variants[dispatch_i % n_var]
+        if n_var > 1:
+            var = shard_batch(var, mesh)
+        dispatch_i += 1
+        state, metrics = dispatch(state, var, jax.random.fold_in(rng, step))
         metrics = jax.device_get(metrics)
         dt = time.time() - t0
         step += spd

@@ -26,3 +26,47 @@ def test_migrate_legacy_block_names():
     assert u["SubmConv_0"] == {"kernel": 9}
     # idempotent on migrated trees
     assert mig(got) == got
+
+
+def test_scan_trainer_augment_variants(tmp_path):
+    """run_detector_training_scan with augmentation ON: pre-built epoch
+    variants differ (real augmentation) and two dispatches train with
+    finite metrics (VERDICT r2 #4: the reference never trains unaugmented,
+    ``lib/dataset/pipeline.py:679-697``)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from d3net_tpu.config import load
+
+    cfg = load("conf/debug/tiny_converge.yaml")
+    cfg.general.output_root = str(tmp_path)
+    cfg.data.transform.jitter = True
+    cfg.data.transform.flip = True
+    cfg.data.transform.rot = True
+    cfg.data.elastic = True
+    cfg.tpu.steps_per_dispatch = 2
+    cfg.tpu.augment_variants = 2
+    run_dir = os.path.join(str(tmp_path), "scan_run")
+
+    from d3net_tpu.train.loop import run_detector_training_scan
+    run_detector_training_scan(cfg, run_dir, max_steps=4)
+
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    train = [r for r in recs if "train/total_loss" in r]
+    assert len(train) >= 2  # two dispatches
+    for r in train:
+        assert np.isfinite(r["train/total_loss"])
+
+    # the two epoch variants must be genuinely different augmentations
+    from d3net_tpu.train.loop import make_dataloaders, spec_from_cfg
+    spec = spec_from_cfg(cfg)
+    it, _ = make_dataloaders(cfg, spec)
+    it.augment = True
+    it.epoch = 0
+    b0 = next(iter(it))
+    it.epoch = 1
+    b1 = next(iter(it))
+    assert not np.allclose(b0["point_feats"], b1["point_feats"])
