@@ -75,8 +75,16 @@ def orbit_poses(scene_xyz: np.ndarray, n_frames: int,
 
 def render_frame(scene: Scene, pose: np.ndarray, intrinsic: np.ndarray,
                  width: int, height: int,
-                 depth_range: Tuple[float, float] = (0.1, 8.0)):
-    """Z-buffered point-splat render -> (color (H,W,3) in [0,1], depth (H,W))."""
+                 depth_range: Tuple[float, float] = (0.1, 8.0),
+                 with_semantics: bool = False):
+    """Z-buffered point-splat render -> (color (H,W,3) in [0,1], depth (H,W)).
+
+    With ``with_semantics=True`` also returns the per-pixel semantic label
+    image (H, W) int32 — the winning splat's ``scene.sem_labels`` entry,
+    -1 where no point projects.  This is the 2D supervision signal for
+    training the ENet encoder (the reference's ``scannetv2_enet.pth`` was
+    trained on ScanNet 2D semantic frames the same way).
+    """
     w2c = np.linalg.inv(pose)
     cam = scene.xyz @ w2c[:3, :3].T + w2c[:3, 3]
     z = cam[:, 2]
@@ -103,7 +111,12 @@ def render_frame(scene: Scene, pose: np.ndarray, intrinsic: np.ndarray,
     depth[win_pix] = z_s[first]
     color = np.zeros((height * width, 3), np.float32)
     color[win_pix] = (scene.rgb[win_pt] + 1.0) / 2.0  # rgb stored in [-1,1]
-    return color.reshape(height, width, 3), depth.reshape(height, width)
+    if not with_semantics:
+        return color.reshape(height, width, 3), depth.reshape(height, width)
+    sem = np.full(height * width, -1, np.int32)
+    sem[win_pix] = scene.sem_labels[win_pt]
+    return (color.reshape(height, width, 3), depth.reshape(height, width),
+            sem.reshape(height, width))
 
 
 def render_scene_frames(scene: Scene, n_frames: int, width: int, height: int

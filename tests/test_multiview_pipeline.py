@@ -93,3 +93,36 @@ def test_multiview_end_to_end(tmp_path):
     n = min(len(scene.xyz), 8192)
     got = batch["point_feats"][0, :n, 3:]  # after normal block
     np.testing.assert_allclose(got, feats[:n], atol=1e-6)
+
+
+def test_train_enet_learns_semantics(tmp_path):
+    """scripts/train_enet.py: semantics-supervised ENet training improves
+    pixel accuracy over init, and the saved pickle drops into
+    compute_multiview_features.make_encoder (VERDICT r2 #5)."""
+    import os
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import train_enet
+
+    colors, labels = train_enet.build_frame_dataset(
+        num_scenes=2, frames_per_scene=3, height=64, width=80, seed=0)
+    assert (labels >= 0).mean() > 0.3  # renders actually cover pixels
+    params, batch_stats, hist = train_enet.train(
+        colors, labels, num_classes=20, steps=30, batch=3, lr=2e-3,
+        log_every=5)
+    first, last = hist[0]["acc"], hist[-1]["acc"]
+    assert last > first + 0.1, (first, last)  # learned, not chance
+
+    out = os.path.join(str(tmp_path), "enet.pkl")
+    import pickle
+    with open(out, "wb") as f:
+        pickle.dump(train_enet.extract_encoder_variables(params, batch_stats), f)
+
+    import compute_multiview_features as cmf
+    apply_fn, _ = cmf.make_encoder(weights_path=out, image_hw=(64, 80))
+    feats = np.asarray(apply_fn(colors[:2]))
+    assert feats.shape == (2, 8, 10, 128)
+    assert np.isfinite(feats).all() and np.abs(feats).max() > 0
