@@ -48,6 +48,12 @@ BATCH = 4
 REF_SCENES_PER_SEC_ASSUMED = 5.0  # unpublished; conservative estimate
 PEAK_FLOPS = 197e12  # v5e bf16 peak
 
+# production backbone: block-dense folded-lane conv, bf16 activations
+# (exact parity with the gather conv is oracle-tested; bf16 is bitwise-
+# identical through the convs on this backend — docs/perf_notes.md).
+# D3NET_BENCH_CONV=gather compares against the row-gather path.
+CONV_IMPL = os.environ.get("D3NET_BENCH_CONV", "block")
+
 
 def build_bench_batch():
     scenes = [
@@ -67,6 +73,7 @@ def build_bench_batch():
         max_instances=32,
         use_multiview=True,
         use_normal=True,
+        conv_impl=CONV_IMPL,
     )
     return scenes, spec
 
@@ -115,7 +122,8 @@ def _wait_for_worker(max_wait_s: float = 360.0):
 
 
 def main():
-    model = PointGroup()  # flagship defaults: m=16, blocks 1..7
+    # flagship defaults: m=16, blocks 1..7, bf16 compute
+    model = PointGroup(compute_dtype="bfloat16")
     scenes, spec = build_bench_batch()
     host_ts = []
     for _ in range(3):
@@ -193,18 +201,12 @@ def main():
 
     train_detail = {}
     train_scenes_per_sec = None
-    # train timing uses the 5-level/65k-cap config: the full 7-level
-    # backward at 131k caps does not fit 16GB HBM yet (future work)
-    train_model = PointGroup(blocks=(1, 2, 3, 4, 5))
-    tb_spec = BatchSpec(
-        max_points=65536, voxel_caps=[65536, 32768, 16384, 8192, 4096],
-        max_instances=32, use_multiview=True, use_normal=True,
-    )
-    tscenes = [
-        make_scene(seed=i, num_instances=10, density=2500.0,
-                   floor_points=15000, room=6.0, with_multiview=True)
-        for i in range(BATCH)
-    ]
+    # train timing uses the SAME flagship config as the forward timing:
+    # the block-conv custom-VJP backward keeps residuals in row space, so
+    # the full 7-level/131k backward fits HBM (docs/perf_notes.md round 3)
+    train_model = model
+    tb_spec = spec
+    tscenes = scenes
     try:
         train_batch = jax.tree.map(jnp.asarray, build_batch(tscenes, tb_spec))
         state = create_train_state(train_model, train_batch,
@@ -274,6 +276,7 @@ def main():
             "train_scenes_per_sec": (
                 round(train_scenes_per_sec, 3) if train_scenes_per_sec else None),
             "host_pipeline_s_per_batch": round(host_s, 2),
+            "conv_impl": CONV_IMPL,
             "backend": jax.default_backend(),
             **train_detail,
         },
