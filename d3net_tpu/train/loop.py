@@ -363,11 +363,18 @@ def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
 
     profile_at = int(cfg.get("log", {}).get("profile_step", 0) or 0) if hasattr(cfg.get("log", {}), "get") else 0
 
-    # Device-batch caching: with augmentation off, batches are identical
-    # across epochs; uploading ~80MB/batch over the tunneled TPU dominates
-    # step time, so keep them resident in HBM.
+    # Device-batch caching: uploading ~80MB/batch over the tunneled TPU
+    # dominates step time, so batches live in HBM.  With augmentation ON
+    # the first ``tpu.augment_variants`` epochs are cached as independent
+    # augmented copies (the loader is epoch-seeded) and later epochs cycle
+    # them — the reference never trains unaugmented
+    # (``lib/dataset/pipeline.py:679-697``), and a handful of resident
+    # variants recovers most of that diversity without per-epoch uploads.
     cache_batches = bool(cfg.tpu.get("cache_batches", False))
-    device_batches = []
+    n_var = 1
+    if cache_batches and train_it.augment:
+        n_var = max(1, int(cfg.tpu.get("augment_variants", 2)))
+    variant_epochs: list = []
     val_batches = []
     val_batches_done = False
 
@@ -377,15 +384,18 @@ def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
         in_prepare = prepare_epochs > 0 and epoch < prepare_epochs
         epoch_train_step = prep_train_step if in_prepare else train_step
         epoch_eval_step = prep_eval_step if in_prepare else eval_step
-        if cache_batches and device_batches:
-            batches = device_batches
+        caching_this_epoch = cache_batches and len(variant_epochs) < n_var
+        if cache_batches and not caching_this_epoch:
+            batches = variant_epochs[epoch % n_var]
         else:
             batches = train_it
+            if caching_this_epoch:
+                variant_epochs.append([])
         for item in batches:
             if isinstance(item, dict):
                 batch = shard_batch(item, mesh)
-                if cache_batches and epoch == 0:
-                    device_batches.append(batch)
+                if caching_this_epoch:
+                    variant_epochs[-1].append(batch)
             else:
                 batch = item
             if profile_at and step == profile_at:

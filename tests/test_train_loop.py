@@ -70,3 +70,34 @@ def test_scan_trainer_augment_variants(tmp_path):
     it.epoch = 1
     b1 = next(iter(it))
     assert not np.allclose(b0["point_feats"], b1["point_feats"])
+
+
+def test_nonscan_trainer_cycles_augment_variants(tmp_path):
+    """run_detector_training with cache_batches + augmentation: the first
+    N epochs cache independent augmented copies, later epochs cycle them."""
+    import json
+    import os
+
+    import numpy as np
+
+    from d3net_tpu.config import load
+
+    cfg = load("conf/debug/tiny_converge.yaml")
+    cfg.general.output_root = str(tmp_path)
+    cfg.data.transform.jitter = True
+    cfg.data.transform.flip = True
+    cfg.data.transform.rot = True
+    cfg.tpu.cache_batches = True
+    cfg.tpu.augment_variants = 2
+    cfg.train.epochs = 3
+    cfg.train.log_every_n_steps = 1
+    run_dir = os.path.join(str(tmp_path), "cached_aug_run")
+
+    from d3net_tpu.train.loop import run_detector_training
+    run_detector_training(cfg, run_dir, max_steps=12)
+
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    train = [r for r in recs if "train/total_loss" in r]
+    assert len(train) >= 3
+    assert all(np.isfinite(r["train/total_loss"]) for r in train)
