@@ -118,7 +118,15 @@ def make_scene(
     sem = np.concatenate(sems).astype(np.int32)
     inst = np.concatenate(insts).astype(np.int32)
     n = len(xyz)
-    rgb = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    # class-conditioned base color + per-point noise: real ScanNet RGB is
+    # informative about category (chairs/tables/beds have characteristic
+    # colors), and the 2D ENet supervision (scripts/train_enet.py) needs a
+    # color->semantics signal in rendered frames.  Same rng draw count as
+    # the old pure-noise colors, so downstream draws (multiview) are
+    # stream-compatible.
+    ctab = np.random.default_rng(54321).uniform(-0.8, 0.8, (num_classes, 3))
+    rgb = (0.55 * ctab[np.clip(sem, 0, num_classes - 1)]
+           + 0.45 * rng.uniform(-1, 1, (n, 3))).astype(np.float32)
     # true surface normals + small noise (the round-1 generator emitted
     # random unit vectors — pure noise in the 'use_normal' feature channel)
     normal = np.concatenate(nrms).astype(np.float32)

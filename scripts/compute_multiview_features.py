@@ -105,6 +105,11 @@ def main():
                     help="prepare_scannet npz files (xyz source)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="render N synthetic scenes instead of reading data")
+    ap.add_argument("--config",
+                    help="training config: render features for exactly the "
+                         "train+val synthetic scenes that config uses "
+                         "(matching geometry params and scene_ids), so the "
+                         "HDF5 drops into data.multiview_hdf5")
     ap.add_argument("--output", required=True, help="output HDF5 path")
     ap.add_argument("--weights", help="pickled flax ENet params")
     ap.add_argument("--max-frames", type=int, default=50)
@@ -127,11 +132,33 @@ def main():
     intrinsic = default_intrinsic(args.width, args.height)
     out = {}
 
-    if args.synthetic:
-        from d3net_tpu.data.synthetic import make_scene
+    if args.synthetic or args.config:
+        if args.config:
+            # exactly the scenes the training config's dataloaders build
+            # (same geometry kwargs + split seed bases), so scene_ids AND
+            # point counts line up with MultiviewAttached lookups
+            from d3net_tpu.config import load
+            from d3net_tpu.data.dataset import SyntheticScenes
 
-        for i in range(args.synthetic):
-            scene = make_scene(seed=i)
+            cfg = load(args.config)
+            syn = cfg.data.synthetic
+            kw = dict(
+                num_instances=syn.num_instances,
+                points_per_instance=syn.get("points_per_instance", 3000),
+                floor_points=syn.floor_points, room=syn.room,
+                density=syn.get("density"),
+                size_range=tuple(syn.get("size_range", (0.3, 1.2))),
+            )
+            n_val = int(syn.get("num_val_scenes", 0)
+                        or max(2, syn.num_scenes // 8))
+            scene_list = list(SyntheticScenes(syn.num_scenes, "train", **kw).scenes)
+            scene_list += list(SyntheticScenes(n_val, "val", **kw).scenes)
+        else:
+            from d3net_tpu.data.synthetic import make_scene
+
+            scene_list = [make_scene(seed=i) for i in range(args.synthetic)]
+
+        for scene in scene_list:
             colors, depths, poses = render_scene_frames(
                 scene, n_frames=min(args.max_frames, 8),
                 width=args.width, height=args.height,
