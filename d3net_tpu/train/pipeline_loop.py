@@ -663,27 +663,35 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
 
     rng = jax.random.key(cfg.general.manual_seed + 7)
     step = int(state.step)
-    # Device-batch caching (tpu.cache_batches): with augmentation off the
-    # scene batches are identical across epochs; keeping batch + lang tensors
+    # Device-batch caching (tpu.cache_batches): keeping batch + lang tensors
     # resident avoids re-uploading tens of MB per step over the tunneled TPU
-    # (same lever as the detector loop). Lang sampling randomness is frozen
-    # to epoch 0 when enabled.
+    # (same lever as the detector loop).  With augmentation ON the first
+    # ``tpu.augment_variants`` epochs are cached as independent augmented
+    # copies (epoch-seeded loader; lang is regenerated from each variant's
+    # augmented scenes so spatial relations stay consistent) and later
+    # epochs cycle them.
     cache_batches = bool(cfg.tpu.get("cache_batches", False))
-    cached_pairs = []
+    n_var = 1
+    if cache_batches and train_it.augment:
+        n_var = max(1, int(cfg.tpu.get("augment_variants", 2)))
+    variant_pairs: list = []
     prev_pair = None  # mode-3 listener stream: previous draw (two streams)
     val_fns = _ValFns(model, chunk)
     for epoch in range(cfg.train.epochs):
-        if cache_batches and cached_pairs:
-            src = cached_pairs
+        caching_this_epoch = cache_batches and len(variant_pairs) < n_var
+        if cache_batches and not caching_this_epoch:
+            src = variant_pairs[epoch % n_var]
         else:
             src = None
+            if caching_this_epoch:
+                variant_pairs.append([])
         for item in (src if src is not None else train_it):
             if src is None:
                 batch_np, batch_scenes = item
                 lang = make_lang(batch_scenes)
                 batch = shard_batch(jax.tree.map(jnp.asarray, batch_np), mesh)
-                if cache_batches:
-                    cached_pairs.append((batch, lang))
+                if caching_this_epoch:
+                    variant_pairs[-1].append((batch, lang))
             else:
                 batch, lang = item
             t0 = time.time()

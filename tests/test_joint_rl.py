@@ -26,9 +26,13 @@ def test_joint_rl_one_step_in_graph_callbacks(tmp_path):
 
     cfg = load("conf/debug/tiny_joint.yaml")
     cfg.general.output_root = str(tmp_path)
-    cfg.train.epochs = 1
+    cfg.train.epochs = 2
+    # exercise the cached-augmented-variant path of the pipeline loop too
+    cfg.tpu.cache_batches = True
+    cfg.tpu.augment_variants = 2
+    cfg.data.transform.jitter = True
     run_dir = os.path.join(str(tmp_path), "joint_run")
-    pl.run_pipeline_training(cfg, run_dir, max_steps=1)
+    pl.run_pipeline_training(cfg, run_dir, max_steps=2)
 
     with open(os.path.join(run_dir, "metrics.jsonl")) as f:
         recs = [json.loads(line) for line in f if line.strip()]
