@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import statistics
 import time
 
@@ -121,7 +122,45 @@ def _wait_for_worker(max_wait_s: float = 360.0):
             time.sleep(15)
 
 
+def _device_reachable(timeout_s: float = 420.0) -> str | None:
+    """Probe the backend in a subprocess with a hard wall-clock bound.
+
+    Tunnel RPCs on the axon runtime can hang forever (no error, no
+    timeout) when the remote worker is down; a hung bench would leave the
+    driver with no JSON line at all.  The probe runs device discovery + one
+    tiny op in a child process so a hang is killable; returns an error
+    string if the device never answers, else None.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(jax.default_backend());"
+        "print(float(jnp.ones((8,128)).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s, env=dict(os.environ),
+        )
+    except subprocess.TimeoutExpired:
+        return (f"device unreachable: backend probe hung >{timeout_s:.0f}s "
+                "(tunneled worker down?)")
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout).strip().splitlines()
+        return "device probe failed: " + (tail[-1][:200] if tail else "?")
+    return None
+
+
 def main():
+    probe_err = _device_reachable()
+    if probe_err:
+        print(json.dumps({
+            "metric": "detector_fwd_scenes_per_sec", "value": None,
+            "unit": "scenes/sec", "vs_baseline": None, "error": probe_err,
+        }))
+        return
     # flagship defaults: m=16, blocks 1..7, bf16 compute
     model = PointGroup(compute_dtype="bfloat16")
     scenes, spec = build_bench_batch()
@@ -287,4 +326,20 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # last-resort wall-clock bound: if the worker dies mid-bench and an RPC
+    # wedges, emit an error JSON line instead of hanging the driver.  (The
+    # alarm can only fire once the interpreter regains control, so a truly
+    # wedged C call still hangs — the subprocess probe above catches the
+    # common cold-start case.)
+    def _alarm(signum, frame):  # noqa: ARG001
+        raise TimeoutError("bench exceeded wall-clock budget")
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(int(os.environ.get("D3NET_BENCH_BUDGET_S", "3000")))
+    try:
+        main()
+    except TimeoutError as e:
+        print(json.dumps({
+            "metric": "detector_fwd_scenes_per_sec", "value": None,
+            "unit": "scenes/sec", "vs_baseline": None, "error": str(e),
+        }))
