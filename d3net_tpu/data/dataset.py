@@ -108,7 +108,20 @@ def augment_scene(scene: Scene, rng: np.random.Generator, *, jitter=True,
         s = T.elastic(s, 20 * 1, 160 * 0.4, rng)
         xyz = (s / scale).astype(np.float32)
     normal = (scene.normal @ np.linalg.inv(m).T).astype(np.float32)
-    return replace(scene, xyz=xyz, normal=normal)
+    bboxes = scene.instance_bboxes
+    if bboxes is not None and len(bboxes):
+        # GT boxes must ride the same linear map or grounding targets
+        # (ref_box_corner_label) and spatial-relation descriptions are built
+        # in raw space against augmented geometry (the reference rotates its
+        # aligned boxes alongside the points, lib/dataset/pipeline.py).
+        # center maps exactly; the AABB of a linearly-mapped box has extents
+        # |m| @ d.  Elastic is a non-linear warp applied after this — the
+        # box stays the linear image (close: elastic is zero-mean and
+        # small-magnitude relative to box sizes).
+        bboxes = bboxes.copy()
+        bboxes[:, :3] = (bboxes[:, :3] @ m.T).astype(np.float32)
+        bboxes[:, 3:6] = (bboxes[:, 3:6] @ np.abs(m).T).astype(np.float32)
+    return replace(scene, xyz=xyz, normal=normal, instance_bboxes=bboxes)
 
 
 def subset_scene(scene: Scene, keep: np.ndarray) -> Scene:

@@ -100,6 +100,11 @@ def main():
         choices=["detection", "captioning", "grounding", "scannet"],
     )
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        help="override a dotted config key for this eval only, e.g. "
+             "--set eval.min_iou_threshold=0.25 (the reference's eval.py "
+             "similarly mutates fields by hand, scripts/eval.py:43-44)")
     args = parser.parse_args()
 
     if args.cpu:
@@ -109,6 +114,23 @@ def main():
 
     cfg_path = os.path.join(args.folder, "config.yaml")
     cfg = cfg_lib.load(cfg_path)
+    for kv in args.set:
+        key, _, val = kv.partition("=")
+        node = cfg
+        parts = key.strip().split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        old = node.get(parts[-1])
+        for cast in (int, float):
+            try:
+                val = cast(val)
+                break
+            except ValueError:
+                continue
+        if isinstance(val, str) and val.lower() in ("true", "false"):
+            val = val.lower() == "true"
+        node[parts[-1]] = val
+        print(f"config override: {key} = {val!r} (was {old!r})")
 
     if args.task == "detection":
         eval_detection(cfg, args.folder)

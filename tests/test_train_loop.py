@@ -101,3 +101,48 @@ def test_nonscan_trainer_cycles_augment_variants(tmp_path):
     train = [r for r in recs if "train/total_loss" in r]
     assert len(train) >= 3
     assert all(np.isfinite(r["train/total_loss"]) for r in train)
+
+def test_augment_transforms_instance_bboxes():
+    """Rot/flip augmentation must carry the GT boxes with the points —
+    otherwise grounding targets (ref_box_corner_label) and spatial-relation
+    descriptions are built in raw space against augmented geometry (the
+    round-3 joint-RL zero-IoU bug; ref rotates aligned boxes with the
+    points, lib/dataset/pipeline.py)."""
+    import numpy as np
+    from d3net_tpu.data.dataset import augment_scene
+    from d3net_tpu.data.language import lang_chunk_for_scene
+    from d3net_tpu.data.synthetic import make_scene
+    from d3net_tpu.data.vocab import Vocabulary
+    from d3net_tpu.data.language import base_corpus
+    from d3net_tpu.utils.bbox import box_corners
+
+    scene = make_scene(seed=3, num_instances=3)
+    rng = np.random.default_rng(0)
+    aug = augment_scene(scene, rng, jitter=False, flip=True, rot=True)
+
+    def iou_aabb(lo1, hi1, lo2, hi2):
+        inter = np.prod(np.maximum(np.minimum(hi1, hi2) - np.maximum(lo1, lo2), 0))
+        v1, v2 = np.prod(hi1 - lo1), np.prod(hi2 - lo2)
+        return inter / (v1 + v2 - inter + 1e-9)
+
+    for s in (scene, aug):  # box/point consistency must survive augmentation
+        for row in s.instance_bboxes:
+            inst = int(row[7])
+            pts = s.xyz[s.instance_ids == inst]
+            lo, hi = pts.min(0), pts.max(0)
+            c, d = row[:3], row[3:6]
+            iou = iou_aabb(lo, hi, c - d / 2, c + d / 2)
+            assert iou > 0.5, (s is aug, inst, iou)
+
+    # lang targets are built from the (augmented) scene's boxes
+    vocab = Vocabulary.build(base_corpus())
+    chunk = lang_chunk_for_scene(aug, vocab, 4, 10, rng, 8)
+    for c in range(4):
+        if chunk["annotated"][c] < 1:
+            continue
+        inst = int(np.argmax(chunk["ref_box_label"][c]))
+        row = aug.instance_bboxes[
+            np.where(aug.instance_bboxes[:, 7] == inst)[0][0]]
+        np.testing.assert_allclose(
+            chunk["ref_box_corner_label"][c],
+            box_corners(row[:3], row[3:6]), atol=1e-5)
