@@ -52,9 +52,12 @@ def eval_detection(cfg, run_dir):
     restored = ckpt.restore_weights(state)
     if restored is None:
         print("WARNING: no checkpoint found, evaluating random weights")
+        ckpt_info = {"kind": "none", "step": -1}
     else:
         state = restored
-        print(f"evaluating checkpoint step {int(state.step)}")
+        ckpt_info = dict(ckpt.restored_from or {})
+        print(f"evaluating {ckpt_info.get('kind')} checkpoint "
+              f"(step {ckpt_info.get('step')})")
 
     eval_step = jit_eval_step(model)
     calcs = {t: APCalculator(t) for t in (0.25, 0.5)}
@@ -87,6 +90,9 @@ def eval_detection(cfg, run_dir):
             k: v for k, v in m.items() if k.startswith(("AP_", "Recall_"))
         }
     print(json.dumps(results, indent=2))
+    # stamp which checkpoint produced this eval (captioning/grounding evals
+    # already do — d3net_tpu/eval/cli.py)
+    results["checkpoint"] = ckpt_info
     with open(os.path.join(run_dir, "eval_detection.json"), "w") as f:
         json.dump(results, f)
     return results
