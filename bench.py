@@ -1,6 +1,18 @@
 """Benchmark: flagship detector throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — ALWAYS,
+within a bounded wall-clock, even if the tunneled device wedges mid-RPC.
+
+Architecture (round 4, after BENCH_r03 rc=124): the parent process NEVER
+imports jax or touches the device.  Each device-touching phase (probe,
+forward timing, train timing) runs in its own child process group with a
+hard per-phase budget; on timeout the parent SIGKILLs the whole group and
+records the phase as failed.  An in-process SIGALRM demonstrably cannot
+fire through a wedged tunnel RPC (BENCH_r03), but a parent that never
+blocks on the device can always print.  Phase budgets sum to well under
+the driver's patience (default 240+900+900 = 2040s; BENCH_r02 ran to
+completion in far less, and the driver killed r03 at some budget >= its
+own timeout — stay clearly below 3000s).
 
 Measurement protocol (this harness's tunneled axon runtime requires care):
 ``jax.block_until_ready`` does not actually block, and device->host
@@ -33,17 +45,9 @@ import json
 import os
 import signal
 import statistics
+import subprocess
+import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from d3net_tpu import runtime as _rt
-_rt.setup()
-from d3net_tpu.data.collate import BatchSpec, build_batch
-from d3net_tpu.data.synthetic import make_scene
-from d3net_tpu.models.pointgroup import PointGroup
 
 BATCH = 4
 REF_SCENES_PER_SEC_ASSUMED = 5.0  # unpublished; conservative estimate
@@ -55,8 +59,24 @@ PEAK_FLOPS = 197e12  # v5e bf16 peak
 # D3NET_BENCH_CONV=gather compares against the row-gather path.
 CONV_IMPL = os.environ.get("D3NET_BENCH_CONV", "block")
 
+PROBE_BUDGET_S = float(os.environ.get("D3NET_BENCH_PROBE_S", "240"))
+PHASE_BUDGET_S = float(os.environ.get("D3NET_BENCH_PHASE_S", "900"))
+
+
+# --------------------------------------------------------------------------
+# Child-side helpers (imported lazily inside phase functions; the parent
+# orchestrator below imports nothing device-related).
+# --------------------------------------------------------------------------
+
+def _setup_runtime():
+    from d3net_tpu import runtime as _rt
+    _rt.setup()
+
 
 def build_bench_batch():
+    from d3net_tpu.data.collate import BatchSpec, build_batch
+    from d3net_tpu.data.synthetic import make_scene
+
     scenes = [
         make_scene(
             seed=i,
@@ -76,7 +96,7 @@ def build_bench_batch():
         use_normal=True,
         conv_impl=CONV_IMPL,
     )
-    return scenes, spec
+    return scenes, spec, build_batch
 
 
 def timed_scan_ms(make_fn, k1: int, k2: int, reps: int = 3):
@@ -86,6 +106,8 @@ def timed_scan_ms(make_fn, k1: int, k2: int, reps: int = 3):
     iterations.  Distinct salts defeat request dedupe; the scalar fetch
     forces completion (block_until_ready is unreliable on this runtime).
     """
+    import jax.numpy as jnp
+
     f1, f2 = make_fn(k1), make_fn(k2)
     float(f1(jnp.float32(0.5)))  # compile + warm
     float(f2(jnp.float32(0.5)))
@@ -102,68 +124,34 @@ def timed_scan_ms(make_fn, k1: int, k2: int, reps: int = 3):
     return per_step * 1e3, t1 * 1e3, t2 * 1e3
 
 
-def _wait_for_worker(max_wait_s: float = 360.0):
-    """Block until the device answers a trivial program again.
+# --------------------------------------------------------------------------
+# Phases — each runs as `bench.py --phase NAME` in its own process group and
+# prints one JSON line on its last stdout line.
+# --------------------------------------------------------------------------
 
-    A watchdog kill (docs/tpu_scan_fault.md) restarts the tunneled worker;
-    for ~3 min every dispatch fails UNAVAILABLE.  Poll with a tiny matmul
-    so follow-up measurements hit a healthy device instead of inheriting
-    the crash.
-    """
-    deadline = time.time() + max_wait_s
-    while True:
-        try:
-            x = jnp.ones((128, 128))
-            float((x @ x).sum())
-            return
-        except Exception:  # noqa: BLE001
-            if time.time() > deadline:
-                return
-            time.sleep(15)
+def phase_probe():
+    """Trivial device contact: backend name + one tiny matmul."""
+    _setup_runtime()
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    x = jnp.ones((128, 128))
+    val = float((x @ x).sum())
+    return {"backend": backend, "probe_value": val}
 
 
-def _device_reachable(timeout_s: float = 420.0) -> str | None:
-    """Probe the backend in a subprocess with a hard wall-clock bound.
+def phase_fwd():
+    """Flagship forward timing + host collate timing + FLOPs bound."""
+    _setup_runtime()
+    import jax
+    import jax.numpy as jnp
 
-    Tunnel RPCs on the axon runtime can hang forever (no error, no
-    timeout) when the remote worker is down; a hung bench would leave the
-    driver with no JSON line at all.  The probe runs device discovery + one
-    tiny op in a child process so a hang is killable; returns an error
-    string if the device never answers, else None.
-    """
-    import subprocess
-    import sys
+    from d3net_tpu.models.pointgroup import PointGroup
+    from d3net_tpu.ops import native
 
-    code = (
-        "import jax, jax.numpy as jnp;"
-        "print(jax.default_backend());"
-        "print(float(jnp.ones((8,128)).sum()))"
-    )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=timeout_s, env=dict(os.environ),
-        )
-    except subprocess.TimeoutExpired:
-        return (f"device unreachable: backend probe hung >{timeout_s:.0f}s "
-                "(tunneled worker down?)")
-    if r.returncode != 0:
-        tail = (r.stderr or r.stdout).strip().splitlines()
-        return "device probe failed: " + (tail[-1][:200] if tail else "?")
-    return None
-
-
-def main():
-    probe_err = _device_reachable()
-    if probe_err:
-        print(json.dumps({
-            "metric": "detector_fwd_scenes_per_sec", "value": None,
-            "unit": "scenes/sec", "vs_baseline": None, "error": probe_err,
-        }))
-        return
-    # flagship defaults: m=16, blocks 1..7, bf16 compute
     model = PointGroup(compute_dtype="bfloat16")
-    scenes, spec = build_bench_batch()
+    scenes, spec, build_batch = build_bench_batch()
     host_ts = []
     for _ in range(3):
         t0 = time.time()
@@ -189,19 +177,17 @@ def main():
             return c
         return lambda salt: f(variables, batch, salt)
 
-    error = None
-    fwd_ms = None
-    try:
-        # K kept small: flagship fwd is ~9s/step and the worker watchdog
-        # kills dispatches over ~60s
-        fwd_ms, t1_ms, t2_ms = timed_scan_ms(make_fwd, 2, 4)
-    except Exception as e:  # noqa: BLE001 — keep the JSON line alive
-        error = f"fwd timing failed: {str(e).splitlines()[0][:200]}"
-        t1_ms = t2_ms = None
+    out = {
+        "host_pipeline_s_per_batch": round(host_s, 3),
+        "native_collate_used": native.available(),
+        "backend": jax.default_backend(),
+    }
+    # K kept small: the worker watchdog kills dispatches over ~60s
+    fwd_ms, t1_ms, t2_ms = timed_scan_ms(make_fwd, 2, 4)
+    out["fwd_step_ms"] = round(fwd_ms, 2)
+    out["scan_walls_ms"] = [round(t1_ms, 1), round(t2_ms, 1)]
 
     # diagnostic FLOPs bound (per batch forward) at v5e peak
-    flops_per_batch = None
-    bound_scenes_per_sec = None
     try:
         ca = jax.jit(lambda v, b: model.apply(v, b, train=False)[
             "proposal_scores_all"]).lower(variables, batch).compile(
@@ -210,89 +196,210 @@ def main():
             ca = ca[0]
         flops_per_batch = float(ca.get("flops", 0.0)) or None
         if flops_per_batch:
-            bound_scenes_per_sec = PEAK_FLOPS / (flops_per_batch / BATCH)
-    except Exception:
+            out["flops_bound_scenes_per_sec"] = round(
+                PEAK_FLOPS / (flops_per_batch / BATCH), 1)
+    except Exception:  # noqa: BLE001 — the bound is diagnostic only
         pass
+    return out
 
-    scenes_per_sec = None
-    if fwd_ms is not None and fwd_ms > 0:
-        scenes_per_sec = BATCH / (fwd_ms / 1e3)
-        if bound_scenes_per_sec and scenes_per_sec > bound_scenes_per_sec:
-            error = (
-                f"measured {scenes_per_sec:.1f} scenes/s exceeds the "
-                f"compiler-FLOPs bound {bound_scenes_per_sec:.1f} — timing "
-                "invalid (tunnel contamination), not reported"
-            )
-            scenes_per_sec = None
-    elif fwd_ms is not None:
-        error = f"non-positive per-step time ({fwd_ms:.4f} ms)"
-        scenes_per_sec = None
 
-    # ---- training-step timing (default ON; scan path, sequential fallback)
-    import gc
+def phase_train():
+    """Flagship train-step timing + short real-run loss drop."""
+    _setup_runtime()
+    import jax
+    import jax.numpy as jnp
 
+    from d3net_tpu.models.pointgroup import PointGroup
     from d3net_tpu.train.trainer import (
         create_train_state, detector_train_step, jit_train_step, make_optimizer,
     )
 
-    del variables, batch
-    gc.collect()
+    model = PointGroup(compute_dtype="bfloat16")
+    scenes, spec, build_batch = build_bench_batch()
+    train_batch = jax.tree.map(jnp.asarray, build_batch(scenes, spec))
+    state = create_train_state(model, train_batch,
+                               jax.random.key(0), make_optimizer(lr=1e-3))
 
-    train_detail = {}
-    train_scenes_per_sec = None
-    # train timing uses the SAME flagship config as the forward timing:
-    # the block-conv custom-VJP backward keeps residuals in row space, so
-    # the full 7-level/131k backward fits HBM (docs/perf_notes.md round 3)
-    train_model = model
-    tb_spec = spec
-    tscenes = scenes
+    out = {}
+
+    def make_train(K):
+        @jax.jit
+        def f(st0, tb, salt):
+            def body(st, i):
+                st, m = detector_train_step(
+                    model, st, tb, jax.random.fold_in(jax.random.key(7), i))
+                return st, m["total_loss"]
+            _, losses = jax.lax.scan(body, st0, jnp.arange(K))
+            return losses.sum() + salt * 1e-12
+        return lambda salt: f(state, train_batch, salt)
+
     try:
-        train_batch = jax.tree.map(jnp.asarray, build_batch(tscenes, tb_spec))
-        state = create_train_state(train_model, train_batch,
-                                   jax.random.key(0), make_optimizer(lr=1e-3))
+        train_ms, _, _ = timed_scan_ms(make_train, 2, 4)
+        out["train_path"] = "scan"
+    except Exception as e:  # noqa: BLE001 — scan may fault some runtimes
+        out["train_scan_error"] = str(e).splitlines()[0][:160]
+        _wait_for_worker()  # a faulted worker needs ~3min to recover
+        step = jit_train_step(model)
+        st, m = step(state, train_batch, jax.random.key(1))
+        float(m["total_loss"])  # compile
+        ts = []
+        for i in range(4):
+            t0 = time.time()
+            st, m = step(st, train_batch, jax.random.key(2 + i))
+            float(m["total_loss"])
+            ts.append(time.time() - t0)
+        train_ms = statistics.median(ts) * 1e3
+        out["train_path"] = "sequential"
+    out["train_step_ms"] = round(train_ms, 2)
 
-        def make_train(K):
-            @jax.jit
-            def f(st0, tb, salt):
-                def body(st, i):
-                    st, m = detector_train_step(
-                        train_model, st, tb,
-                        jax.random.fold_in(jax.random.key(7), i))
-                    return st, m["total_loss"]
-                _, losses = jax.lax.scan(body, st0, jnp.arange(K))
-                return losses.sum() + salt * 1e-12
-            return lambda salt: f(state, train_batch, salt)
+    # loss drop over a short real run (separate from timing)
+    step = jit_train_step(model)
+    st, m0 = step(state, train_batch, jax.random.key(11))
+    l0 = float(m0["total_loss"])
+    for i in range(6):
+        st, m1 = step(st, train_batch, jax.random.key(12 + i))
+    l1 = float(m1["total_loss"])
+    out["train_loss_drop_7steps"] = round(l0 - l1, 4)
+    return out
 
+
+def _wait_for_worker(max_wait_s: float = 360.0):
+    """Block until the device answers a trivial program again.
+
+    A watchdog kill (docs/tpu_scan_fault.md) restarts the tunneled worker;
+    for ~3 min every dispatch fails UNAVAILABLE.  Poll with a tiny matmul
+    so follow-up measurements hit a healthy device instead of inheriting
+    the crash.
+    """
+    import jax.numpy as jnp
+
+    deadline = time.time() + max_wait_s
+    while True:
         try:
-            train_ms, _, _ = timed_scan_ms(make_train, 2, 4)
-            train_detail["train_path"] = "scan"
-        except Exception as e:  # noqa: BLE001 — scan may fault some runtimes
-            train_detail["train_scan_error"] = str(e).splitlines()[0][:160]
-            _wait_for_worker()  # a faulted worker needs ~3min to recover
-            step = jit_train_step(train_model)
-            st, m = step(state, train_batch, jax.random.key(1))
-            float(m["total_loss"])  # compile
-            ts = []
-            for i in range(4):
-                t0 = time.time()
-                st, m = step(st, train_batch, jax.random.key(2 + i))
-                float(m["total_loss"])
-                ts.append(time.time() - t0)
-            train_ms = statistics.median(ts) * 1e3
-            train_detail["train_path"] = "sequential"
-        # loss drop over a short real run (separate from timing)
-        step = jit_train_step(train_model)
-        st, m0 = step(state, train_batch, jax.random.key(11))
-        l0 = float(m0["total_loss"])
-        for i in range(6):
-            st, m1 = step(st, train_batch, jax.random.key(12 + i))
-        l1 = float(m1["total_loss"])
-        train_detail["train_loss_drop_7steps"] = round(l0 - l1, 4)
-        if train_ms > 0:
-            train_scenes_per_sec = BATCH / (train_ms / 1e3)
-            train_detail["train_step_ms"] = round(train_ms, 2)
-    except Exception as e:  # noqa: BLE001
-        train_detail["train_error"] = str(e).splitlines()[0][:200]
+            x = jnp.ones((128, 128))
+            float((x @ x).sum())
+            return
+        except Exception:  # noqa: BLE001
+            if time.time() > deadline:
+                return
+            time.sleep(15)
+
+
+PHASES = {"probe": phase_probe, "fwd": phase_fwd, "train": phase_train}
+
+
+def _run_phase_child(name: str) -> None:
+    """Child entry: run one phase, print its result as the last stdout line."""
+    try:
+        result = PHASES[name]()
+        print(json.dumps({"ok": True, **result}), flush=True)
+    except Exception as e:  # noqa: BLE001 — the parent needs a line either way
+        print(json.dumps(
+            {"ok": False, "error": str(e).splitlines()[0][:300]}), flush=True)
+
+
+# --------------------------------------------------------------------------
+# Parent orchestrator — jax-free; always prints one JSON line.
+# --------------------------------------------------------------------------
+
+def _spawn_phase(name: str, budget_s: float) -> dict:
+    """Run a phase in its own process group with a hard wall-clock bound.
+
+    A wedged tunnel RPC cannot be interrupted from inside the process
+    (BENCH_r03: SIGALRM never fired through the hung C call), so the only
+    robust bound is an external SIGKILL of the whole group.
+    """
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--phase", name],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True, env=dict(os.environ),
+    )
+    t0 = time.time()
+    try:
+        stdout, stderr = proc.communicate(timeout=budget_s)
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
+        try:
+            proc.communicate(timeout=10)
+        except Exception:  # noqa: BLE001
+            pass
+        return {"ok": False,
+                "error": f"phase '{name}' exceeded {budget_s:.0f}s budget "
+                         "(tunneled worker wedged?) — killed"}
+    elapsed = time.time() - t0
+    for line in reversed((stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                res = json.loads(line)
+                res["phase_wall_s"] = round(elapsed, 1)
+                return res
+            except json.JSONDecodeError:
+                continue
+    tail = ((stderr or "") + (stdout or "")).strip().splitlines()
+    return {"ok": False,
+            "error": f"phase '{name}' rc={proc.returncode}, no JSON line: "
+                     + (tail[-1][:200] if tail else "?")}
+
+
+def main():
+    detail = {
+        "vs_baseline_note": (
+            "denominator is an ASSUMED 5 scenes/s for the CUDA reference "
+            "(it publishes no throughput); treat vs_baseline as an "
+            "estimate"),
+        "batch": BATCH,
+        "conv_impl": CONV_IMPL,
+    }
+    errors = []
+
+    probe = _spawn_phase("probe", PROBE_BUDGET_S)
+    if not probe.get("ok"):
+        print(json.dumps({
+            "metric": "detector_fwd_scenes_per_sec", "value": None,
+            "unit": "scenes/sec", "vs_baseline": None,
+            "error": probe.get("error", "probe failed"),
+            "detail": detail,
+        }))
+        return
+    detail["backend"] = probe.get("backend")
+
+    fwd = _spawn_phase("fwd", PHASE_BUDGET_S)
+    scenes_per_sec = None
+    if fwd.get("ok"):
+        for k in ("fwd_step_ms", "scan_walls_ms", "flops_bound_scenes_per_sec",
+                  "host_pipeline_s_per_batch", "native_collate_used"):
+            if k in fwd:
+                detail[k] = fwd[k]
+        fwd_ms = fwd.get("fwd_step_ms")
+        bound = fwd.get("flops_bound_scenes_per_sec")
+        if fwd_ms is not None and fwd_ms > 0:
+            scenes_per_sec = BATCH / (fwd_ms / 1e3)
+            if bound and scenes_per_sec > bound:
+                errors.append(
+                    f"measured {scenes_per_sec:.1f} scenes/s exceeds the "
+                    f"compiler-FLOPs bound {bound:.1f} — timing invalid "
+                    "(tunnel contamination), not reported")
+                scenes_per_sec = None
+        elif fwd_ms is not None:
+            errors.append(f"non-positive per-step time ({fwd_ms:.4f} ms)")
+    else:
+        errors.append(fwd.get("error", "fwd phase failed"))
+
+    train = _spawn_phase("train", PHASE_BUDGET_S)
+    if train.get("ok"):
+        for k in ("train_step_ms", "train_path", "train_scan_error",
+                  "train_loss_drop_7steps"):
+            if k in train:
+                detail[k] = train[k]
+        tms = train.get("train_step_ms")
+        if tms and tms > 0:
+            detail["train_scenes_per_sec"] = round(BATCH / (tms / 1e3), 3)
+    else:
+        errors.append(train.get("error", "train phase failed"))
 
     out = {
         "metric": "detector_fwd_scenes_per_sec",
@@ -301,45 +408,15 @@ def main():
         "vs_baseline": (
             round(scenes_per_sec / REF_SCENES_PER_SEC_ASSUMED, 3)
             if scenes_per_sec else None),
-        "detail": {
-            "vs_baseline_note": (
-                "denominator is an ASSUMED 5 scenes/s for the CUDA reference "
-                "(it publishes no throughput); treat vs_baseline as an "
-                "estimate"),
-            "batch": BATCH,
-            "fwd_step_ms": round(fwd_ms, 2) if fwd_ms is not None else None,
-            "scan_walls_ms": ([round(t1_ms, 1), round(t2_ms, 1)]
-                              if t1_ms is not None else None),
-            "flops_bound_scenes_per_sec": (
-                round(bound_scenes_per_sec, 1) if bound_scenes_per_sec else None),
-            "train_scenes_per_sec": (
-                round(train_scenes_per_sec, 3) if train_scenes_per_sec else None),
-            "host_pipeline_s_per_batch": round(host_s, 2),
-            "conv_impl": CONV_IMPL,
-            "backend": jax.default_backend(),
-            **train_detail,
-        },
+        "detail": detail,
     }
-    if error:
-        out["error"] = error
+    if errors:
+        out["error"] = "; ".join(errors)
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    # last-resort wall-clock bound: if the worker dies mid-bench and an RPC
-    # wedges, emit an error JSON line instead of hanging the driver.  (The
-    # alarm can only fire once the interpreter regains control, so a truly
-    # wedged C call still hangs — the subprocess probe above catches the
-    # common cold-start case.)
-    def _alarm(signum, frame):  # noqa: ARG001
-        raise TimeoutError("bench exceeded wall-clock budget")
-
-    signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(int(os.environ.get("D3NET_BENCH_BUDGET_S", "3000")))
-    try:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        _run_phase_child(sys.argv[2])
+    else:
         main()
-    except TimeoutError as e:
-        print(json.dumps({
-            "metric": "detector_fwd_scenes_per_sec", "value": None,
-            "unit": "scenes/sec", "vs_baseline": None, "error": str(e),
-        }))

@@ -53,12 +53,23 @@ def assign_dense_caption(
 
 
 class CaptionEvaluator:
-    """Accumulates per-scene candidates and computes corpus metrics."""
+    """Accumulates per-scene candidates and computes corpus metrics.
+
+    Besides the protocol metrics, the evaluator keeps the RAW (pre-
+    replacement) candidates and the assignment IoUs so ``diagnostics()``
+    can separate detector quality (how many candidates the IoU<k rule
+    wiped) from caption quality (metrics on the raw candidates) — the
+    round-3 zero-CIDEr runs turned out to be 100% wiped candidates, which
+    score rouge≈0.36/meteor≈0.27 against "sos ... eos" references while
+    CIDEr is exactly 0 (sos/eos appear in every reference → idf 0).
+    """
 
     def __init__(self, min_iou: float = 0.5):
         self.min_iou = min_iou
         self.gts: Dict[str, List[str]] = {}
         self.cands: Dict[str, List[str]] = {}
+        self.raw_cands: Dict[str, List[str]] = {}
+        self.ious: Dict[str, float] = {}
 
     def add_scene(
         self,
@@ -77,23 +88,58 @@ class CaptionEvaluator:
                 continue
             key = f"{scene_id}|{g}"
             self.gts[key] = [f"sos {r} eos" for r in refs]
+            self.ious[key] = float(iou)
+            self.raw_cands[key] = [captions[p]] if p >= 0 else ["sos eos"]
             if p >= 0 and iou >= self.min_iou:
                 self.cands[key] = [captions[p]]
             else:
                 self.cands[key] = ["sos eos"]
 
-    def compute(self) -> Dict[str, float]:
-        if not self.cands:
-            return {"bleu4": 0.0, "cider": 0.0, "rouge": 0.0, "meteor": 0.0}
-        corpus_bleu, _ = capeval.bleu(self.gts, self.cands, 4)
-        cider, _ = capeval.Cider().compute_score(self.gts, self.cands)
-        rouge, _ = capeval.rouge_l(self.gts, self.cands)
+    @staticmethod
+    def _metrics(gts, cands) -> Dict[str, float]:
+        corpus_bleu, _ = capeval.bleu(gts, cands, 4)
+        cider, _ = capeval.Cider().compute_score(gts, cands)
+        rouge, _ = capeval.rouge_l(gts, cands)
         if capeval.meteor_available():
-            met, _ = capeval.meteor(self.gts, self.cands)
+            met, _ = capeval.meteor(gts, cands)
         else:  # nltk (Porter stemmer) absent — report 0 rather than crash
             met = 0.0
         return {"bleu4": corpus_bleu[3], "cider": cider, "rouge": rouge,
                 "meteor": met}
+
+    def compute(self) -> Dict[str, float]:
+        if not self.cands:
+            return {"bleu4": 0.0, "cider": 0.0, "rouge": 0.0, "meteor": 0.0}
+        return self._metrics(self.gts, self.cands)
+
+    def diagnostics(self, num_examples: int = 20) -> Dict:
+        """Detector-vs-caption failure attribution (not a protocol metric).
+
+        ``*_raw`` metrics score the assigned proposal's caption regardless
+        of IoU; ``frac_replaced`` is how many candidates the IoU<min_iou
+        rule wiped.  raw >> protocol means the detector (or undertrained
+        backbone at toy scale) is the binding constraint, not the decoder.
+        """
+        if not self.cands:
+            return {}
+        ious = np.array(list(self.ious.values()))
+        out: Dict = {
+            "frac_replaced": float(np.mean(ious < self.min_iou)),
+            "assign_iou_mean": float(ious.mean()),
+            "assign_iou_p50": float(np.median(ious)),
+            "assign_iou_p90": float(np.percentile(ious, 90)),
+            "num_keys": int(len(ious)),
+        }
+        out.update({f"{k}_raw": v
+                    for k, v in self._metrics(self.gts, self.raw_cands).items()})
+        keys = sorted(self.gts)[:num_examples]
+        out["examples"] = [
+            {"key": k, "iou": round(self.ious[k], 3),
+             "candidate": self.cands[k][0], "raw_candidate": self.raw_cands[k][0],
+             "refs": self.gts[k]}
+            for k in keys
+        ]
+        return out
 
 
 def decode_captions(ids: np.ndarray, vocab) -> List[str]:

@@ -746,6 +746,7 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
         val_metrics = run_pipeline_validation(
             cfg, model, state, val_it, vocab, emb, chunk, mesh, mode,
             val_fns=val_fns,
+            diag_path=os.path.join(run_dir, "caption_diag.json"),
         )
         logger.log(step, val_metrics, "val")
         print(f"epoch {epoch} VAL " + " ".join(
@@ -772,8 +773,8 @@ class _ValFns:
 
 
 def run_pipeline_validation(cfg, model, state, val_it, vocab, emb, chunk,
-                            mesh, mode, val_fns: "_ValFns" = None
-                            ) -> Dict[str, float]:
+                            mesh, mode, val_fns: "_ValFns" = None,
+                            diag_path: str = None) -> Dict[str, float]:
     """Caption CIDEr@0.5IoU + grounding Acc@kIoU over the val split
     (ref ``validation_epoch_end`` :645-735)."""
     variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -835,6 +836,14 @@ def run_pipeline_validation(cfg, model, state, val_it, vocab, emb, chunk,
 
     if mode in (1, 3):
         out.update({f"{k}": v for k, v in cap_eval.compute().items()})
+        diag = cap_eval.diagnostics()
+        if diag:
+            out["cap_frac_replaced"] = diag["frac_replaced"]
+            out["cap_assign_iou_mean"] = diag["assign_iou_mean"]
+            out["cider_raw"] = diag["cider_raw"]
+            if diag_path:
+                with open(diag_path, "w") as f:
+                    json.dump(diag, f, indent=1)
     if mode in (2, 3):
         # overall acc@K -> the reference's ref_iou_rate_K name; breakdown
         # keys (unique_/multiple_/others_...) keep their prefix
