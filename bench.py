@@ -10,9 +10,13 @@ hard per-phase budget; on timeout the parent SIGKILLs the whole group and
 records the phase as failed.  An in-process SIGALRM demonstrably cannot
 fire through a wedged tunnel RPC (BENCH_r03), but a parent that never
 blocks on the device can always print.  Phase budgets sum to well under
-the driver's patience (default 240+900+900 = 2040s; BENCH_r02 ran to
-completion in far less, and the driver killed r03 at some budget >= its
-own timeout — stay clearly below 3000s).
+the driver's patience (default 240+1100+1100 = 2440s; the driver killed
+r03 at some budget >= its own timeout — stay below 3000s).  Every timed
+phase is ONE compiled program (runtime trip count) and the persistent
+compile cache (d3net_tpu.runtime.setup) makes the second run of any
+given code state fast — a cold run may still blow a phase budget on the
+~8-min remote compiles, in which case the emitted JSON line says which
+phase died and a rerun picks up the cached executables.
 
 Measurement protocol (this harness's tunneled axon runtime requires care):
 ``jax.block_until_ready`` does not actually block, and device->host
@@ -60,7 +64,7 @@ PEAK_FLOPS = 197e12  # v5e bf16 peak
 CONV_IMPL = os.environ.get("D3NET_BENCH_CONV", "block")
 
 PROBE_BUDGET_S = float(os.environ.get("D3NET_BENCH_PROBE_S", "240"))
-PHASE_BUDGET_S = float(os.environ.get("D3NET_BENCH_PHASE_S", "900"))
+PHASE_BUDGET_S = float(os.environ.get("D3NET_BENCH_PHASE_S", "1100"))
 
 
 # --------------------------------------------------------------------------
@@ -99,29 +103,39 @@ def build_bench_batch():
     return scenes, spec, build_batch
 
 
-def timed_scan_ms(make_fn, k1: int, k2: int, reps: int = 3):
-    """Per-step ms via scan-length differencing with scalar materialization.
+def timed_loop_ms(fn, k1: int, k2: int, reps: int = 3):
+    """Per-step ms via iteration-count differencing, ONE compiled program.
 
-    make_fn(K) -> jitted fn(salt) returning a scalar that depends on all K
-    iterations.  Distinct salts defeat request dedupe; the scalar fetch
-    forces completion (block_until_ready is unreliable on this runtime).
+    fn(salt, k) -> scalar depending on all k iterations, where k is a
+    RUNTIME argument (``lax.while_loop`` trip count) — so k1 and k2 share
+    one executable.  The flagship program takes ~8 min per remote compile
+    on this tunnel (54MB executable); the round-3 two-scan-lengths
+    protocol was two compiles and blew the phase budget cold (BENCH_r03/
+    first r04 attempt).  Distinct salts defeat request dedupe; the scalar
+    fetch forces completion (block_until_ready is unreliable here).
     """
     import jax.numpy as jnp
 
-    f1, f2 = make_fn(k1), make_fn(k2)
-    float(f1(jnp.float32(0.5)))  # compile + warm
-    float(f2(jnp.float32(0.5)))
+    _progress(f"compiling timed program (k={k1})")
+    float(fn(jnp.float32(0.5), k1))  # one compile serves every k
+    _progress("timed program compiled; warming")
+    float(fn(jnp.float32(0.6), k2))
     t1s, t2s = [], []
     for i in range(reps):
         t0 = time.time()
-        float(f1(jnp.float32(1.0 + i)))
+        float(fn(jnp.float32(1.0 + i), k1))
         t1s.append(time.time() - t0)
         t0 = time.time()
-        float(f2(jnp.float32(101.0 + i)))
+        float(fn(jnp.float32(101.0 + i), k2))
         t2s.append(time.time() - t0)
     t1, t2 = statistics.median(t1s), statistics.median(t2s)
     per_step = (t2 - t1) / (k2 - k1)
     return per_step * 1e3, t1 * 1e3, t2 * 1e3
+
+
+def _progress(msg: str) -> None:
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 
 # --------------------------------------------------------------------------
@@ -152,6 +166,7 @@ def phase_fwd():
 
     model = PointGroup(compute_dtype="bfloat16")
     scenes, spec, build_batch = build_bench_batch()
+    _progress("scenes built; timing host collate")
     host_ts = []
     for _ in range(3):
         t0 = time.time()
@@ -160,22 +175,29 @@ def phase_fwd():
     host_s = statistics.median(host_ts)
     batch = jax.tree.map(jnp.asarray, batch_np)
 
+    _progress(f"host collate {host_s:.2f}s/batch; device init")
     init = jax.jit(lambda b: model.init({"params": jax.random.key(0)}, b, train=False))
     variables = init(batch)
+    jax.tree.map(lambda x: x.block_until_ready(), variables)
+    _progress("init done")
 
-    def make_fwd(K):
-        # big arrays enter as jit ARGUMENTS (closure capture would bake
-        # them into the HLO as constants — the remote compile service
-        # rejects payloads that large)
-        @jax.jit
-        def f(v, b, salt):
-            def body(c, _):
-                feats = b["point_feats"].at[0, 0, 0].add(c * 1e-12)
-                o = model.apply(v, {**b, "point_feats": feats}, train=False)
-                return c + o["proposal_scores_all"].sum() * 1e-6, ()
-            c, _ = jax.lax.scan(body, salt, None, length=K)
-            return c
-        return lambda salt: f(variables, batch, salt)
+    # big arrays enter as jit ARGUMENTS (closure capture would bake
+    # them into the HLO as constants — the remote compile service
+    # rejects payloads that large); the trip count k is a runtime arg so
+    # both timed lengths share ONE executable (see timed_loop_ms)
+    @jax.jit
+    def f(v, b, salt, k):
+        def cond(c):
+            return c[0] < k
+
+        def body(c):
+            i, acc = c
+            feats = b["point_feats"].at[0, 0, 0].add(acc * 1e-12)
+            o = model.apply(v, {**b, "point_feats": feats}, train=False)
+            return i + 1, acc + o["proposal_scores_all"].sum() * 1e-6
+
+        _, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), salt))
+        return acc
 
     out = {
         "host_pipeline_s_per_batch": round(host_s, 3),
@@ -183,23 +205,26 @@ def phase_fwd():
         "backend": jax.default_backend(),
     }
     # K kept small: the worker watchdog kills dispatches over ~60s
-    fwd_ms, t1_ms, t2_ms = timed_scan_ms(make_fwd, 2, 4)
+    fwd_ms, t1_ms, t2_ms = timed_loop_ms(
+        lambda salt, k: f(variables, batch, salt, jnp.int32(k)), 2, 4)
     out["fwd_step_ms"] = round(fwd_ms, 2)
-    out["scan_walls_ms"] = [round(t1_ms, 1), round(t2_ms, 1)]
+    out["loop_walls_ms"] = [round(t1_ms, 1), round(t2_ms, 1)]
 
-    # diagnostic FLOPs bound (per batch forward) at v5e peak
-    try:
-        ca = jax.jit(lambda v, b: model.apply(v, b, train=False)[
-            "proposal_scores_all"]).lower(variables, batch).compile(
-        ).cost_analysis()
-        if isinstance(ca, list):
-            ca = ca[0]
-        flops_per_batch = float(ca.get("flops", 0.0)) or None
-        if flops_per_batch:
-            out["flops_bound_scenes_per_sec"] = round(
-                PEAK_FLOPS / (flops_per_batch / BATCH), 1)
-    except Exception:  # noqa: BLE001 — the bound is diagnostic only
-        pass
+    # diagnostic FLOPs bound (per batch forward) at v5e peak — opt-in:
+    # it costs a full extra remote compile of the unrolled forward
+    if os.environ.get("D3NET_BENCH_FLOPS"):
+        try:
+            ca = jax.jit(lambda v, b: model.apply(v, b, train=False)[
+                "proposal_scores_all"]).lower(variables, batch).compile(
+            ).cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            flops_per_batch = float(ca.get("flops", 0.0)) or None
+            if flops_per_batch:
+                out["flops_bound_scenes_per_sec"] = round(
+                    PEAK_FLOPS / (flops_per_batch / BATCH), 1)
+        except Exception:  # noqa: BLE001 — the bound is diagnostic only
+            pass
     return out
 
 
@@ -217,27 +242,39 @@ def phase_train():
     model = PointGroup(compute_dtype="bfloat16")
     scenes, spec, build_batch = build_bench_batch()
     train_batch = jax.tree.map(jnp.asarray, build_batch(scenes, spec))
+    _progress("batch on device; creating train state (init compile)")
     state = create_train_state(model, train_batch,
                                jax.random.key(0), make_optimizer(lr=1e-3))
+    _progress("train state ready")
 
     out = {}
 
-    def make_train(K):
-        @jax.jit
-        def f(st0, tb, salt):
-            def body(st, i):
-                st, m = detector_train_step(
-                    model, st, tb, jax.random.fold_in(jax.random.key(7), i))
-                return st, m["total_loss"]
-            _, losses = jax.lax.scan(body, st0, jnp.arange(K))
-            return losses.sum() + salt * 1e-12
-        return lambda salt: f(state, train_batch, salt)
+    # ONE executable for timing (k1/k2) AND the loss-drop check: the trip
+    # count is a runtime arg, and the returned scalar is the LAST step's
+    # loss (+ a salt touch), so loss(k=1) vs loss(k=7) measures learning
+    # with no extra program (each extra program costs a ~8-min remote
+    # compile on this tunnel).
+    @jax.jit
+    def f(st0, tb, salt, k):
+        def cond(c):
+            return c[0] < k
 
+        def body(c):
+            i, st, _ = c
+            st, m = detector_train_step(
+                model, st, tb, jax.random.fold_in(jax.random.key(7), i))
+            return i + 1, st, m["total_loss"]
+
+        _, _, last_loss = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), st0, salt))
+        return last_loss + salt * 1e-12
+
+    fn = lambda salt, k: f(state, train_batch, salt, jnp.int32(k))  # noqa: E731
     try:
-        train_ms, _, _ = timed_scan_ms(make_train, 2, 4)
-        out["train_path"] = "scan"
-    except Exception as e:  # noqa: BLE001 — scan may fault some runtimes
-        out["train_scan_error"] = str(e).splitlines()[0][:160]
+        train_ms, _, _ = timed_loop_ms(fn, 2, 4)
+        out["train_path"] = "loop"
+    except Exception as e:  # noqa: BLE001 — long dispatches may fault
+        out["train_loop_error"] = str(e).splitlines()[0][:160]
         _wait_for_worker()  # a faulted worker needs ~3min to recover
         step = jit_train_step(model)
         st, m = step(state, train_batch, jax.random.key(1))
@@ -252,14 +289,13 @@ def phase_train():
         out["train_path"] = "sequential"
     out["train_step_ms"] = round(train_ms, 2)
 
-    # loss drop over a short real run (separate from timing)
-    step = jit_train_step(model)
-    st, m0 = step(state, train_batch, jax.random.key(11))
-    l0 = float(m0["total_loss"])
-    for i in range(6):
-        st, m1 = step(st, train_batch, jax.random.key(12 + i))
-    l1 = float(m1["total_loss"])
-    out["train_loss_drop_7steps"] = round(l0 - l1, 4)
+    # loss drop over a short real run (same executable)
+    try:
+        l0 = float(fn(jnp.float32(55.0), 1))
+        l1 = float(fn(jnp.float32(55.0), 7))
+        out["train_loss_drop_7steps"] = round(l0 - l1, 4)
+    except Exception as e:  # noqa: BLE001
+        out["train_loss_drop_error"] = str(e).splitlines()[0][:160]
     return out
 
 

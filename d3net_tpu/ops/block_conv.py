@@ -213,6 +213,42 @@ def _mm(a, b2, out_dtype):
     ).astype(out_dtype)
 
 
+def _conv2d(x, k, strides=(1, 1), rhs_dilation=None):
+    """NHWC x HWIO VALID conv with f32 accumulation (returns f32).
+
+    Round-4 perf redesign: the 9 (ox,oy) taps used to be 9 separate
+    banded matmuls over shifted VIEWS of the halo — ~9 strided re-reads
+    of the halo from HBM per conv (the measured 178ms/level-0 was
+    HBM-bound on exactly that traffic, docs/perf_notes.md).  One XLA
+    conv reads the halo once, keeps the spatial reuse in VMEM, and runs
+    the same banded matmuls on the MXU.
+    """
+    return jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), window_strides=strides, padding="VALID",
+        rhs_dilation=rhs_dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _filter_grad(x, dy, strides=(1, 1)):
+    """Filter gradient of ``_conv2d`` as one conv (classic transposition).
+
+    x (CH, H, W, Cin), dy (CH, Ho, Wo, Cout) -> (kh, kw, Cin, Cout), f32.
+    Replaces the per-(ox,oy) Gram einsums (same 9x halo re-read problem
+    as the forward).
+    """
+    lhs = x.transpose(3, 1, 2, 0)        # Cin as batch, CH as channels
+    rhs = dy.transpose(1, 2, 0, 3)       # out spatial as kernel, CH -> Cout
+    g = jax.lax.conv_general_dilated(
+        lhs, rhs.astype(lhs.dtype), window_strides=(1, 1), padding="VALID",
+        rhs_dilation=strides,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return g.transpose(1, 2, 0, 3)       # (kh, kw, Cin, Cout)
+
+
 # ---------------------------------------------------------------------------
 # submanifold 3^3 conv (folded)
 # ---------------------------------------------------------------------------
@@ -287,19 +323,15 @@ def _subm_folded(folded, block_nbr, w, cout_dtype=None):
     cout = w.shape[-1]
     dt = cout_dtype or folded.dtype
     faces = _halo_faces(folded, nbcap, cin)
-    w2 = {(ox, oy): _band_w2_subm(w, ox, oy)
-          for ox in (-1, 0, 1) for oy in (-1, 0, 1)}
+    # (3, 3, 10Cin, 8Cout): kernel[1+ox, 1+oy] is the (ox, oy) z-band matrix
+    kern = jnp.stack([
+        jnp.stack([_band_w2_subm(w, ox, oy) for oy in (-1, 0, 1)], 0)
+        for ox in (-1, 0, 1)], 0)
 
     def chunk_fn(args):
         nbr_c, core_c = args
         halo = _halo_build(core_c, faces, nbr_c, cin)
-        out = None
-        for (oxy, mat) in w2.items():
-            ox, oy = oxy
-            view = halo[:, 1 + ox:9 + ox, 1 + oy:9 + oy, :]
-            part = _mm(view, mat, jnp.float32)
-            out = part if out is None else out + part
-        return out.astype(dt)
+        return _conv2d(halo, kern).astype(dt)
 
     nbr_full = jnp.concatenate(
         [block_nbr, jnp.full((1, 27), nbcap, block_nbr.dtype)], axis=0)
@@ -316,30 +348,18 @@ def _subm_dw_folded(folded_x, block_nbr, dy_folded):
 
     def chunk_fn(args):
         nbr_c, core_c, dy_c = args
-        ch = nbr_c.shape[0]
         halo = _halo_build(core_c, faces, nbr_c, cin)
-        dyf = dy_c.reshape(ch * BLOCK * BLOCK, 8 * cout)
-        gs = []
-        for ox in (-1, 0, 1):
-            for oy in (-1, 0, 1):
-                view = halo[:, 1 + ox:9 + ox, 1 + oy:9 + oy, :].reshape(
-                    ch * BLOCK * BLOCK, 10 * cin)
-                gs.append(jnp.einsum(
-                    "nk,nm->km", view, dyf,
-                    preferred_element_type=jnp.float32))
-        return jnp.stack(gs)                    # (9, 10Cin, 8Cout)
+        return _filter_grad(halo, dy_c)         # (3, 3, 10Cin, 8Cout)
 
     nbr_full = jnp.concatenate(
         [block_nbr, jnp.full((1, 27), nbcap, block_nbr.dtype)], axis=0)
-    g9 = _chunked_sum(
+    g33 = _chunked_sum(
         chunk_fn, (nbr_full, folded_x, dy_folded), nbcap + 1, (nbcap, 0, 0))
     # extract the 27 taps from the band diagonals
     dws = [None] * 27
-    i = 0
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
-            g4 = g9[i].reshape(10, cin, 8, cout)
-            i += 1
+            g4 = g33[1 + ox, 1 + oy].reshape(10, cin, 8, cout)
             for oz in (-1, 0, 1):
                 gs = g4[1 + oz:9 + oz]          # (8, Cin, 8, Cout)
                 dws[_K3[(ox, oy, oz)]] = jnp.einsum(
@@ -358,8 +378,10 @@ def _down_folded(folded_f, block_child, nbf, w, cout_dtype=None):
     cout = w.shape[-1]
     dt = cout_dtype or folded_f.dtype
     dflat = folded_f.reshape(nbf + 1, -1)
-    w2 = {(ox, oy): _band_w2_down(w, ox, oy)
-          for ox in (0, 1) for oy in (0, 1)}
+    # (2, 2, 16Cin, 8Cout) strided-conv kernel
+    kern = jnp.stack([
+        jnp.stack([_band_w2_down(w, ox, oy) for oy in (0, 1)], 0)
+        for ox in (0, 1)], 0)
 
     def chunk_fn(args):
         (child_c,) = args
@@ -378,13 +400,7 @@ def _down_folded(folded_f, block_child, nbf, w, cout_dtype=None):
                 cols.append(jnp.concatenate([lo, hi], axis=-1))
             planes.append(jnp.concatenate(cols, axis=2))
         vol = jnp.concatenate(planes, axis=1)
-        out = None
-        for (oxy, mat) in w2.items():
-            ox, oy = oxy
-            view = vol[:, ox::2, oy::2, :]
-            part = _mm(view, mat, jnp.float32)
-            out = part if out is None else out + part
-        return out.astype(dt)
+        return _conv2d(vol, kern, strides=(2, 2)).astype(dt)
 
     child_full = jnp.concatenate(
         [block_child, jnp.full((1, 8), nbf, block_child.dtype)], axis=0)
@@ -414,27 +430,16 @@ def _down_dw_folded(folded_f, block_child, nbf, dy_folded_c):
                 cols.append(jnp.concatenate([lo, hi], axis=-1))
             planes.append(jnp.concatenate(cols, axis=2))
         vol = jnp.concatenate(planes, axis=1)
-        dyf = dy_c.reshape(ch * BLOCK * BLOCK, 8 * cout)
-        gs = []
-        for ox in (0, 1):
-            for oy in (0, 1):
-                view = vol[:, ox::2, oy::2, :].reshape(
-                    ch * BLOCK * BLOCK, 16 * cin)
-                gs.append(jnp.einsum(
-                    "nk,nm->km", view, dyf,
-                    preferred_element_type=jnp.float32))
-        return jnp.stack(gs)                    # (4, 16Cin, 8Cout)
+        return _filter_grad(vol, dy_c, strides=(2, 2))  # (2,2,16Cin,8Cout)
 
     child_full = jnp.concatenate(
         [block_child, jnp.full((1, 8), nbf, block_child.dtype)], axis=0)
-    g4 = _chunked_sum(
+    g22 = _chunked_sum(
         chunk_fn, (child_full, dy_folded_c), nbc + 1, (nbf, 0))
     dws = [None] * 8
-    i = 0
     for ox in (0, 1):
         for oy in (0, 1):
-            g = g4[i].reshape(16, cin, 8, cout)
-            i += 1
+            g = g22[ox, oy].reshape(16, cin, 8, cout)
             for oz in (0, 1):
                 gs = g[oz::2]                  # rows 2z+oz -> (8, Cin, 8, Cout)
                 dws[_K2[(ox, oy, oz)]] = jnp.einsum(

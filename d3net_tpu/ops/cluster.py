@@ -17,10 +17,16 @@ The redesign eliminates wide random gathers entirely:
    static ladder of shifts s (contiguous 1..16 + exponential), each checked
    with the TRUE squared centroid distance and label equality — implemented
    with ``jnp.roll`` + elementwise ops, fully vectorized on the VPU.
-   No false merges (every edge is distance-gated); rare rank-distant
-   spatial neighbors may be missed, which at worst splits one instance
-   into two proposals — downstream ScoreNet + NMS absorb duplicates (the
-   reference's meanActive edge subsampling makes the same trade).
+   No false merges (every edge is distance-gated); rank-distant spatial
+   neighbors can be missed by one curve, so (round 4) a SECOND
+   decorrelated curve (axis-permuted Morton, translated origin) runs the
+   same band and both edge sets feed one point-space min-propagation —
+   a pair must be rank-distant in BOTH curves to be missed, which
+   tests/test_cluster_band_recall.py shows does not split a worst-case
+   131k-point scene (the single-curve ladder split it 19 ways).  Residual
+   misses at worst split one instance into two proposals — downstream
+   ScoreNet + NMS absorb duplicates (the reference's meanActive edge
+   subsampling makes the same trade).
 3. Connected components by min-label propagation over the band with
    pointer jumping — the only gathers are (M,)-sized pointer chases.
 
@@ -102,6 +108,28 @@ def morton_code(cell):
 # exponential tail hops over interleaved same-label content.  Static.
 _SHIFTS = tuple(range(1, 17)) + (24, 32, 48, 64, 96, 128, 192, 256)
 
+# Second space-filling curve for the recall fix (round 4): axis-permuted
+# Morton with a translated origin.  A pair of adjacent cells lands >256
+# ranks apart in one curve only near that curve's high-bit boundary
+# planes; the translation moves every boundary plane and the axis
+# permutation reshuffles which coordinate owns the top interleave bits,
+# so the two curves' far-pair sets are (empirically) nearly disjoint —
+# tests/test_cluster_band_recall.py pins the measured split rate on a
+# worst-case 131k scene.  Offsets have alternating bit patterns so the
+# boundary at every Morton level moves.
+_CURVE2_OFFSET = (341, 682, 170)   # 0b0101010101, 0b1010101010, 0b0010101010
+
+
+def _morton_code_curve2(cell):
+    """Axis-permuted (z,x,y) Morton code of translated cell coords."""
+    off = jnp.asarray(_CURVE2_OFFSET, jnp.int32)
+    c = (cell + off[None, :]) & (_GRID - 1)
+    return (
+        _morton10(c[:, 2])
+        | (_morton10(c[:, 0]) << 1)
+        | (_morton10(c[:, 1]) << 2)
+    )
+
 
 @functools.partial(
     jax.jit,
@@ -145,59 +173,65 @@ def grid_cluster(
     )
     sem = jnp.clip(sem_labels.astype(jnp.int32), 0, 63)
     khi = jnp.where(valid, sem, 127)        # invalid sorts last, never links
-    klo = morton_code(cell)
     idx = jnp.arange(m, dtype=jnp.int32)
-    _, _, perm = jax.lax.sort((khi, klo, idx), num_keys=2)
-
-    # sorted-order per-point data (coordinate-major: (…, 3) layouts pad the
-    # 3-wide lane dim 42.7x on TPU)
-    sem_s = khi[perm]
-    valid_s = valid[perm]
-    cx = coords[:, 0][perm]
-    cy = coords[:, 1][perm]
-    cz = coords[:, 2][perm]
 
     # the gate keeps round-1 semantics: pairs of (<=cell-quantized) centroids
     # within radius + one cell diagonal are connected
     gate2 = (radius + cell_size * math.sqrt(3.0)) ** 2
 
-    def edge_ok(s: int):
-        """(M,) bool — edge between sorted rank i and i-s (False for i<s)."""
-        dx = cx - jnp.roll(cx, s)
-        dy = cy - jnp.roll(cy, s)
-        dz = cz - jnp.roll(cz, s)
-        d2 = dx * dx + dy * dy + dz * dz
-        ok = (
-            (sem_s == jnp.roll(sem_s, s))
-            & valid_s & jnp.roll(valid_s, s)
-            & (d2 <= gate2)
-        )
-        # roll wraps: kill the first s entries (pair with the array tail)
-        return ok & (jnp.arange(m) >= s)
+    def curve_data(klo):
+        """Per-curve sort permutation + static banded edge masks."""
+        _, _, perm = jax.lax.sort((khi, klo, idx), num_keys=2)
+        # sorted-order per-point data (coordinate-major: (…, 3) layouts pad
+        # the 3-wide lane dim 42.7x on TPU)
+        sem_s = khi[perm]
+        valid_s = valid[perm]
+        cx = coords[:, 0][perm]
+        cy = coords[:, 1][perm]
+        cz = coords[:, 2][perm]
 
-    oks = [edge_ok(s) for s in shifts]       # static masks, computed once
+        def edge_ok(s: int):
+            """(M,) bool — edge between rank i and i-s (False for i<s)."""
+            dx = cx - jnp.roll(cx, s)
+            dy = cy - jnp.roll(cy, s)
+            dz = cz - jnp.roll(cz, s)
+            d2 = dx * dx + dy * dy + dz * dz
+            ok = (
+                (sem_s == jnp.roll(sem_s, s))
+                & valid_s & jnp.roll(valid_s, s)
+                & (d2 <= gate2)
+            )
+            # roll wraps: kill the first s entries (pair with the tail)
+            return ok & (jnp.arange(m) >= s)
+
+        return perm, [edge_ok(s) for s in shifts]
+
+    # two decorrelated curves (see _CURVE2_OFFSET note); labels live in
+    # POINT space (values are point indices, min = component root) so both
+    # curves' band edges feed one min-propagation
+    curves = [curve_data(morton_code(cell)),
+              curve_data(_morton_code_curve2(cell))]
     big = jnp.int32(m)
 
     def body(_, lbl):
-        new = lbl
-        for s, ok in zip(shifts, oks):
-            back = jnp.roll(lbl, s)          # lbl[i-s] at position i
-            new = jnp.minimum(new, jnp.where(ok, back, big))
-            fwd = jnp.roll(lbl, -s)          # lbl[i+s] at position i
-            ok_f = jnp.roll(ok, -s)          # edge (i+s, i) seen from i
-            new = jnp.minimum(new, jnp.where(ok_f, fwd, big))
-        # pointer jumping (the only gathers: (M,)-sized pointer chases)
-        new = new[new]
-        new = new[new]
-        return new
+        for perm, oks in curves:
+            ls = lbl[perm]                   # point-space -> rank-space
+            new = ls
+            for s, ok in zip(shifts, oks):
+                back = jnp.roll(ls, s)       # ls[i-s] at position i
+                new = jnp.minimum(new, jnp.where(ok, back, big))
+                fwd = jnp.roll(ls, -s)       # ls[i+s] at position i
+                ok_f = jnp.roll(ok, -s)      # edge (i+s, i) seen from i
+                new = jnp.minimum(new, jnp.where(ok_f, fwd, big))
+            lbl = jnp.zeros((m,), jnp.int32).at[perm].set(new)
+        # pointer jumping (point-space (M,)-sized pointer chases)
+        lbl = lbl[lbl]
+        lbl = lbl[lbl]
+        return lbl
 
-    label = jax.lax.fori_loop(0, num_iters, body,
-                              jnp.arange(m, dtype=jnp.int32))
-
-    # rank-space root -> original point index; root[p] == p exactly at roots
-    root_pt = perm[label]                    # (M,) point index of rank-root
-    root = jnp.zeros((m,), jnp.int32).at[perm].set(root_pt)
-    return jnp.where(valid, root, -1)
+    label = jax.lax.fori_loop(0, num_iters, body, idx)
+    # label[p] is already a point index; label[root] == root at roots
+    return jnp.where(valid, label, -1)
 
 
 def compact_clusters(

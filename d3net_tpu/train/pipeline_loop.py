@@ -854,3 +854,87 @@ def run_pipeline_validation(cfg, model, state, val_it, vocab, emb, chunk,
     if "cider" in out and "ref_iou_rate_0.5" in out:
         out["combined"] = out["cider"] + out["ref_iou_rate_0.5"]
     return out
+
+
+def run_joint_rl_step_once(cfg: Config, mesh=None, two_phase: bool = True):
+    """ONE mode-3 (joint speaker-listener RL) train step, dp-sharded.
+
+    Multi-chip verification beyond the detector (the reference runs every
+    mode under DDP, ``scripts/train.py:264-280``): builds the full
+    PipelineNet, shards the detector batch over the mesh's dp axis, and
+    runs the two-phase RL step — phase-A device sampling, host CIDEr
+    scoring, phase-B teacher-forced grad step — exactly as
+    ``run_pipeline_training``'s mode-3 branch does.  The moderator,
+    rep/fold logic and host scoring all assume a batch-leading axis; this
+    is the path that proves those assumptions hold under GSPMD sharding.
+    Used by ``__graft_entry__.dryrun_multichip`` and tests/test_parallel.py.
+    """
+    vocab, emb = build_vocab(cfg)
+    model = pipeline_from_cfg(cfg, vocab)
+    spec = spec_from_cfg(cfg)
+    chunk = int(cfg.data.num_des_per_scene)
+    if mesh is None:
+        mesh = make_mesh(batch_size=int(cfg.data.batch_size))
+    train_it, _ = make_dataloaders(cfg, spec, return_scenes=True)
+    rng_np = np.random.default_rng(cfg.general.manual_seed)
+    batch_np, batch_scenes = next(iter(train_it))
+    lang_np = build_lang_batch(
+        batch_scenes, vocab, chunk, cfg.data.max_spk_len, rng_np,
+        spec.max_instances,
+    )
+    lang = lang_rows(lang_np, emb)
+    det_w = tuple(cfg.train.loss_weight[:4])
+    reward_fn = make_caption_reward_fn(vocab, 1.0, 0.0)
+    with jax.set_mesh(mesh):
+        batch = shard_batch(jax.tree.map(jnp.asarray, batch_np), mesh)
+        init_rngs = {k: jax.random.key(i) for i, k in enumerate(
+            ("params",) + _RNGS)}
+        variables = jax.jit(
+            lambda b, l: model.init(init_rngs, b, l, train=True,
+                                    chunk_size=chunk))(batch, lang)
+        tx = make_optimizer(lr=1e-4, steps_per_epoch=10)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+            tx=tx,
+        )
+        state = replicate(state, mesh)
+        sample_fn = jax.jit(functools.partial(
+            sample_caption_ids, model, chunk_size=chunk,
+            beam_size=int(cfg.train.beam_size),
+            sample_topn=int(cfg.train.sample_topn)))
+        step_fn = jax.jit(functools.partial(
+            joint_rl_train_step, model, reward_fn, chunk_size=chunk,
+            beam_size=int(cfg.train.beam_size),
+            sample_topn=int(cfg.train.sample_topn), det_weight=det_w,
+            ref_reward_weight=cfg.train.ref_reward_weight,
+            lang_reward_weight=cfg.train.lang_reward_weight,
+            listener_reward_weight=cfg.train.listener_reward_weight,
+            caption_reward_weight=cfg.train.caption_reward_weight,
+        ))
+        rng = jax.random.key(5)
+        if two_phase:
+            rollout = sample_fn(state, batch, lang, rng)
+            topn = int(cfg.train.sample_topn)
+            n_rows = lang["lang_ids"].shape[0]
+            ids_s = np.asarray(rollout["sampled_cap"]).reshape(
+                n_rows * topn, -1)
+            ids_b = np.repeat(np.asarray(rollout["baseline_cap"]), topn,
+                              axis=0)
+            gt = np.repeat(np.asarray(lang["lang_ids"]), topn, axis=0)
+            ann = np.repeat(np.asarray(lang["annotated"]), topn, axis=0)
+            s_sc = jnp.asarray(reward_fn(ids_s, gt, ann))
+            b_sc = jnp.asarray(reward_fn(ids_b, gt, ann))
+            state, metrics = step_fn(
+                state, batch, lang, batch, lang, rng,
+                caption_scores=(s_sc, b_sc),
+                rollout={k: rollout[k] for k in (
+                    "sampled_cap", "baseline_cap", "target_ids",
+                    "target_ious")},
+            )
+        else:
+            state, metrics = step_fn(state, batch, lang, batch, lang, rng)
+        metrics = jax.device_get(metrics)
+    return state, metrics

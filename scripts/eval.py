@@ -90,11 +90,10 @@ def eval_detection(cfg, run_dir):
             k: v for k, v in m.items() if k.startswith(("AP_", "Recall_"))
         }
     print(json.dumps(results, indent=2))
-    # stamp which checkpoint produced this eval (captioning/grounding evals
-    # already do — d3net_tpu/eval/cli.py)
-    results["checkpoint"] = ckpt_info
+    # stamp which checkpoint produced this eval at dump time only, keeping
+    # the returned metric dict clean (same pattern as d3net_tpu/eval/cli.py)
     with open(os.path.join(run_dir, "eval_detection.json"), "w") as f:
-        json.dump(results, f)
+        json.dump({**results, "checkpoint": ckpt_info}, f)
     return results
 
 
