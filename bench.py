@@ -57,11 +57,14 @@ BATCH = 4
 REF_SCENES_PER_SEC_ASSUMED = 5.0  # unpublished; conservative estimate
 PEAK_FLOPS = 197e12  # v5e bf16 peak
 
-# production backbone: block-dense folded-lane conv, bf16 activations
-# (exact parity with the gather conv is oracle-tested; bf16 is bitwise-
-# identical through the convs on this backend — docs/perf_notes.md).
-# D3NET_BENCH_CONV=gather compares against the row-gather path.
-CONV_IMPL = os.environ.get("D3NET_BENCH_CONV", "block")
+# production backbone: gather-matmul conv with the row-space custom VJP
+# (sparse_conv_t).  Measured r4 on one v5e chip: gather fwd 2.97s/B4 and
+# TRAIN 12.53s/B4 (the flagship backward fits HBM — residuals are rows
+# only); the folded block conv measured fwd 5.43s/B4 and its train step
+# does not compile remotely (tpu_compile_helper HTTP 500) — see
+# docs/perf_notes.md round 4.  D3NET_BENCH_CONV=block re-runs the
+# block-dense path.
+CONV_IMPL = os.environ.get("D3NET_BENCH_CONV", "gather")
 
 PROBE_BUDGET_S = float(os.environ.get("D3NET_BENCH_PROBE_S", "240"))
 PHASE_BUDGET_S = float(os.environ.get("D3NET_BENCH_PHASE_S", "1100"))
@@ -269,9 +272,11 @@ def phase_train():
             cond, body, (jnp.int32(0), st0, salt))
         return last_loss + salt * 1e-12
 
+    # k2=3 keeps the longest dispatch ~3 steps under the worker's ~60-90s
+    # execution watchdog (12.5s/step measured r4: k=7 faulted, k=4 passed)
     fn = lambda salt, k: f(state, train_batch, salt, jnp.int32(k))  # noqa: E731
     try:
-        train_ms, _, _ = timed_loop_ms(fn, 2, 4)
+        train_ms, _, _ = timed_loop_ms(fn, 1, 3)
         out["train_path"] = "loop"
     except Exception as e:  # noqa: BLE001 — long dispatches may fault
         out["train_loop_error"] = str(e).splitlines()[0][:160]
@@ -289,11 +294,12 @@ def phase_train():
         out["train_path"] = "sequential"
     out["train_step_ms"] = round(train_ms, 2)
 
-    # loss drop over a short real run (same executable)
+    # loss drop over a short real run (same executable; k=3 stays under
+    # the dispatch watchdog — k=7 at 12.5s/step faulted the worker)
     try:
         l0 = float(fn(jnp.float32(55.0), 1))
-        l1 = float(fn(jnp.float32(55.0), 7))
-        out["train_loss_drop_7steps"] = round(l0 - l1, 4)
+        l1 = float(fn(jnp.float32(55.0), 3))
+        out["train_loss_drop_3steps"] = round(l0 - l1, 4)
     except Exception as e:  # noqa: BLE001
         out["train_loss_drop_error"] = str(e).splitlines()[0][:160]
     return out

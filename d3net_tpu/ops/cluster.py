@@ -119,6 +119,12 @@ _SHIFTS = tuple(range(1, 17)) + (24, 32, 48, 64, 96, 128, 192, 256)
 # boundary at every Morton level moves.
 _CURVE2_OFFSET = (341, 682, 170)   # 0b0101010101, 0b1010101010, 0b0010101010
 
+# Curve 2's ladder is SHORT: it only needs pairs that curve 1 misses —
+# pairs straddling a curve-1 discontinuity, which the translation/axis
+# permutation makes rank-NEAR in curve 2.  (The full ladder on both
+# curves costs ~2x band work for no measured recall gain.)
+_SHIFTS2 = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32)
+
 
 def _morton_code_curve2(cell):
     """Axis-permuted (z,x,y) Morton code of translated cell coords."""
@@ -134,7 +140,7 @@ def _morton_code_curve2(cell):
 @functools.partial(
     jax.jit,
     static_argnames=("cell_size", "ring", "num_iters", "use_centroid_gate",
-                     "shifts"),
+                     "shifts", "shifts2"),
 )
 def grid_cluster(
     coords,
@@ -148,6 +154,7 @@ def grid_cluster(
     use_centroid_gate: bool = True,
     radius: float = 0.03,
     shifts: Tuple[int, ...] = _SHIFTS,
+    shifts2: Tuple[int, ...] = _SHIFTS2,   # () disables the second curve
 ):
     """Connected components of the same-label radius graph (banded design).
 
@@ -179,7 +186,7 @@ def grid_cluster(
     # within radius + one cell diagonal are connected
     gate2 = (radius + cell_size * math.sqrt(3.0)) ** 2
 
-    def curve_data(klo):
+    def curve_data(klo, curve_shifts):
         """Per-curve sort permutation + static banded edge masks."""
         _, _, perm = jax.lax.sort((khi, klo, idx), num_keys=2)
         # sorted-order per-point data (coordinate-major: (…, 3) layouts pad
@@ -204,20 +211,21 @@ def grid_cluster(
             # roll wraps: kill the first s entries (pair with the tail)
             return ok & (jnp.arange(m) >= s)
 
-        return perm, [edge_ok(s) for s in shifts]
+        return perm, curve_shifts, [edge_ok(s) for s in curve_shifts]
 
     # two decorrelated curves (see _CURVE2_OFFSET note); labels live in
     # POINT space (values are point indices, min = component root) so both
     # curves' band edges feed one min-propagation
-    curves = [curve_data(morton_code(cell)),
-              curve_data(_morton_code_curve2(cell))]
+    curves = [curve_data(morton_code(cell), shifts)]
+    if shifts2:
+        curves.append(curve_data(_morton_code_curve2(cell), shifts2))
     big = jnp.int32(m)
 
     def body(_, lbl):
-        for perm, oks in curves:
+        for perm, curve_shifts, oks in curves:
             ls = lbl[perm]                   # point-space -> rank-space
             new = ls
-            for s, ok in zip(shifts, oks):
+            for s, ok in zip(curve_shifts, oks):
                 back = jnp.roll(ls, s)       # ls[i-s] at position i
                 new = jnp.minimum(new, jnp.where(ok, back, big))
                 fwd = jnp.roll(ls, -s)       # ls[i+s] at position i
