@@ -102,11 +102,21 @@ def lang_chunk_for_scene(
     rng: np.random.Generator,
     max_instances: int,
     apply_word_erase: bool = False,
+    num_refs: int = 1,
 ) -> Dict[str, np.ndarray]:
     """One scene's chunk of descriptions (ref chunking :583-604).
 
     Entries beyond the instance count are unannotated (annotated=0, len 0) —
     the speaker captions random proposals for them (semi-supervised path).
+
+    ``num_refs > 1`` additionally emits ``gt_refs`` (chunk, num_refs, T):
+    several independent descriptions of the SAME target instance.  The
+    reference scores RL caption rewards against every human annotation of
+    the object (``lib/captioning/loss_helper.py:58-67`` queries
+    ``organized_data[scene][object]``); a single-reference CIDEr is far
+    sparser and was a root cause of the joint-RL caption collapse.  Ref 0
+    is the clean (pre-word-erase) training description; the rest are
+    resampled from the grammar.  All-zero rows mean "no reference".
     """
     t = max_len + 2
     n_inst = min(len(scene.instance_bboxes), max_instances)
@@ -121,6 +131,8 @@ def lang_chunk_for_scene(
         # (ScanRefer's ``unique_multiple`` label; ref eval_helper.py:106-112)
         "unique_multiple": np.zeros(chunk_size, np.float32),
     }
+    if num_refs > 1:
+        out["gt_refs"] = np.zeros((chunk_size, num_refs, t), np.int32)
     if n_inst == 0:
         return out
     cls_counts = np.bincount(
@@ -136,6 +148,19 @@ def lang_chunk_for_scene(
         tokens = describe_instance(scene, inst, rng)
         ids = vocab.encode(tokens, max_len)
         length = len(tokens) + 2
+        if num_refs > 1:
+            out["gt_refs"][c, 0] = ids
+            seen = {tuple(tokens)}
+            r = 1
+            for _ in range(4 * (num_refs - 1)):
+                if r >= num_refs:
+                    break
+                alt = describe_instance(scene, inst, rng)
+                if tuple(alt) in seen:
+                    continue
+                seen.add(tuple(alt))
+                out["gt_refs"][c, r] = vocab.encode(alt, max_len)
+                r += 1
         if apply_word_erase:
             ids = word_erase(ids, length, vocab.unk_id, rng)
         box = scene.instance_bboxes[inst]
@@ -152,11 +177,11 @@ def lang_chunk_for_scene(
 
 def build_lang_batch(scenes: List[Scene], vocab: Vocabulary, chunk_size: int,
                      max_len: int, rng: np.random.Generator,
-                     max_instances: int, apply_word_erase: bool = False
-                     ) -> Dict[str, np.ndarray]:
+                     max_instances: int, apply_word_erase: bool = False,
+                     num_refs: int = 1) -> Dict[str, np.ndarray]:
     chunks = [
         lang_chunk_for_scene(s, vocab, chunk_size, max_len, rng, max_instances,
-                             apply_word_erase)
+                             apply_word_erase, num_refs=num_refs)
         for s in scenes
     ]
     return {k: np.stack([c[k] for c in chunks]) for k in chunks[0]}

@@ -58,8 +58,14 @@ class ScanRefer:
         rng: np.random.Generator,
         max_instances: int,
         apply_word_erase: bool = False,
+        num_refs: int = 1,
     ) -> Dict[str, np.ndarray]:
-        """Sample chunk_size ScanRefer entries for one scene (ref :583-604)."""
+        """Sample chunk_size ScanRefer entries for one scene (ref :583-604).
+
+        ``num_refs > 1`` emits ``gt_refs``: every human annotation of the
+        target object (up to num_refs), matching the reference's RL reward
+        corpus (``lib/captioning/loss_helper.py:58-67``).
+        """
         from d3net_tpu.data.language import word_erase
 
         t = max_len + 2
@@ -71,6 +77,8 @@ class ScanRefer:
             "ref_box_label": np.zeros((chunk_size, max_instances), np.float32),
             "ref_cat_label": np.zeros(chunk_size, np.int32),
         }
+        if num_refs > 1:
+            out["gt_refs"] = np.zeros((chunk_size, num_refs, t), np.int32)
         per_obj = self.organized.get(scene.scene_id, {})
         entries = [e for lst in per_obj.values() for e in lst]
         if not entries:
@@ -87,6 +95,11 @@ class ScanRefer:
             tokens = e["token"]
             ids = vocab.encode(tokens, max_len)
             length = min(len(tokens), max_len) + 2
+            if num_refs > 1:
+                out["gt_refs"][c, 0] = ids
+                others = [o for o in per_obj.get(oid, []) if o is not e]
+                for r, o in enumerate(others[: num_refs - 1], start=1):
+                    out["gt_refs"][c, r] = vocab.encode(o["token"], max_len)
             if apply_word_erase:
                 ids = word_erase(ids, length, vocab.unk_id, rng)
             out["lang_ids"][c] = ids

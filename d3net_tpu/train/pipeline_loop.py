@@ -238,7 +238,12 @@ def listener_train_step(model, state, batch, lang, rng, chunk_size: int,
 def make_caption_reward_fn(vocab: Vocabulary, caption_weight: float = 1.0,
                            bleu_weight: float = 0.0):
     """Host callback: decoded CIDEr(+BLEU) of candidate ids vs GT ref ids
-    (ref ``compute_caption_reward`` :15-96)."""
+    (ref ``compute_caption_reward`` :15-96).
+
+    ``gt_ids`` may be (N, T) — one reference per row — or (N, R, T):
+    every annotation of the target object, matching the reference's
+    ``organized_data[scene][object]`` reward corpus (all-zero rows are
+    padding)."""
 
     def host_fn(cand_ids: np.ndarray, gt_ids: np.ndarray,
                 annotated: np.ndarray) -> np.ndarray:
@@ -250,9 +255,16 @@ def make_caption_reward_fn(vocab: Vocabulary, caption_weight: float = 1.0,
             if annotated[i] <= 0:
                 continue
             key = str(i)
-            refs = [
-                " ".join(vocab.decode(gt_ids[i], stop_at_eos=True) + ["eos"])
-            ]
+            rows = gt_ids[i] if gt_ids.ndim == 3 else gt_ids[i][None]
+            refs = []
+            for row in rows:
+                if not row.any():
+                    continue
+                s = " ".join(vocab.decode(row, stop_at_eos=True) + ["eos"])
+                if s not in refs:
+                    refs.append(s)
+            if not refs:
+                continue
             gts[key] = refs
             toks = vocab.decode(cand_ids[i], stop_at_eos=True) + ["eos"]
             cands[key] = [" ".join(toks)]
@@ -324,6 +336,7 @@ def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
                         listener_reward_weight: float = 0.1,
                         caption_reward_weight: float = 1.0,
                         loss_type: str = "cross_entropy",
+                        xe_weight: float = 0.0,
                         caption_scores=None, rollout=None):
     """Mode 3: joint self-critical RL over two dataloader streams
     (ref :228-309).
@@ -359,6 +372,7 @@ def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
             data["baseline_cap_in"] = rollout["baseline_cap"]
             data["target_ids_in"] = rollout["target_ids"]
             data["target_ious_in"] = rollout["target_ious"]
+        spk_in = dict(data)  # pristine speaker input (XE anchor re-runs it)
         data, mut = model.apply(
             variables(bs), data, mode=spk_mode, rng=rngs["target_sampling"],
             chunk_size=chunk_size, beam_size=beam_size, sample_topn=sample_topn,
@@ -420,7 +434,7 @@ def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
             sampled_flat = data["sampled_cap"].reshape(
                 n_rows * sample_topn, -1
             )
-            gt_rep = rep_topn(spk_lang["lang_ids"])
+            gt_rep = rep_topn(spk_lang.get("gt_refs", spk_lang["lang_ids"]))
             reward_shape = jax.ShapeDtypeStruct(
                 (n_rows * sample_topn,), jnp.float32
             )
@@ -457,6 +471,33 @@ def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
         spk_ref_loss = (ref_sampled).mean()
         spk_lang_loss = (lang_sampled).mean()
 
+        # Optional cross-entropy anchor on the GT descriptions.  Pure
+        # self-critical RL has an absorbing failure mode at toy data
+        # scale: once every candidate scores CIDEr 0 the caption reward
+        # carries no gradient and the listener reward alone drives the
+        # speaker off the language manifold (degenerate repeated-token
+        # captions — outputs/cpu_joint_gt/caption_diag.json).  A small XE
+        # term keeps the speaker anchored; 0.0 (default) is exact
+        # reference parity (``compute_cap_loss`` is RL-only when use_rl).
+        cap_loss_xe = jnp.zeros(())
+        if xe_weight > 0.0:
+            # keep target_ids_in if present: the anchor teacher-forces the
+            # same phase-A target selection the RL arm reinforced
+            tf_data = dict(spk_in)
+            tf_out, mut = model.apply(
+                variables(bs), tf_data, mode="tf", rng=rngs["target_sampling"],
+                chunk_size=chunk_size,
+                method=PipelineNet.run_speaker, rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            bs = mut["batch_stats"]
+            cap_loss_xe, _ = caption_loss(
+                tf_out["lang_cap"], spk_lang["lang_ids"],
+                tf_out["good_bbox_masks"] & (spk_lang["annotated"] > 0),
+            )
+            cap_loss_xe = xe_weight * cap_loss_xe
+            metrics["cap_xe_loss"] = cap_loss_xe
+
         # ---------------- listener stream (XE) --------------------------
         out2, mut = model.apply(
             variables(bs), lis_batch, train=True,
@@ -483,7 +524,8 @@ def joint_rl_train_step(model, reward_host_fn, state, spk_batch, spk_lang,
         )
 
         total = (
-            det_spk["total_loss"] + cap_loss_rl + spk_ref_loss + spk_lang_loss
+            det_spk["total_loss"] + cap_loss_rl + cap_loss_xe
+            + spk_ref_loss + spk_lang_loss
             + det_lis["total_loss"] + ref2 + lang2
         )
         metrics.update(
@@ -586,6 +628,7 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
             batch_scenes, vocab, chunk, cfg.data.max_spk_len, rng_np,
             spec.max_instances,
             apply_word_erase=bool(cfg.train.get("apply_word_erase", False)),
+            num_refs=int(cfg.train.get("num_caption_refs", 1) or 1),
         )
         return lang_rows(lang_np, emb)
 
@@ -659,6 +702,7 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
             listener_reward_weight=cfg.train.listener_reward_weight,
             caption_reward_weight=cfg.train.caption_reward_weight,
             loss_type=loss_type,
+            xe_weight=float(cfg.train.get("rl_xe_weight", 0.0) or 0.0),
         ), donate_argnums=(0,))
 
     rng = jax.random.key(cfg.general.manual_seed + 7)
@@ -711,7 +755,9 @@ def run_pipeline_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
                         n_rows * topn, -1)
                     ids_b = np.repeat(np.asarray(rollout["baseline_cap"]),
                                       topn, axis=0)
-                    gt = np.repeat(np.asarray(lang["lang_ids"]), topn, axis=0)
+                    gt = np.repeat(
+                        np.asarray(lang.get("gt_refs", lang["lang_ids"])),
+                        topn, axis=0)
                     ann = np.repeat(np.asarray(lang["annotated"]), topn,
                                     axis=0)
                     s_sc = jnp.asarray(reward_fn(ids_s, gt, ann))
@@ -811,10 +857,19 @@ def run_pipeline_validation(cfg, model, state, val_it, vocab, emb, chunk,
                 gt_m = np.ones(nb)
                 from d3net_tpu.data.language import describe_instance
 
-                gt_desc = {
-                    j: [" ".join(describe_instance(scene, j, np.random.default_rng(0)))]
-                    for j in range(nb)
-                }
+                # several deterministic grammar samples per object — the
+                # reference evaluates against every human annotation of the
+                # object (``lib/captioning/eval_helper.py:258-307``), not one
+                n_val_refs = int(cfg.eval.get("num_caption_refs", 4) or 1)
+                gt_desc = {}
+                for j in range(nb):
+                    refs = []
+                    for seed in range(n_val_refs):
+                        s = " ".join(describe_instance(
+                            scene, j, np.random.default_rng(seed)))
+                        if s not in refs:
+                            refs.append(s)
+                    gt_desc[j] = refs
                 cap_eval.add_scene(scene.scene_id, captions, corners[i], mask[i],
                                    gt_c, gt_m, gt_desc)
 
@@ -881,6 +936,7 @@ def run_joint_rl_step_once(cfg: Config, mesh=None, two_phase: bool = True):
     lang_np = build_lang_batch(
         batch_scenes, vocab, chunk, cfg.data.max_spk_len, rng_np,
         spec.max_instances,
+        num_refs=int(cfg.train.get("num_caption_refs", 1) or 1),
     )
     lang = lang_rows(lang_np, emb)
     det_w = tuple(cfg.train.loss_weight[:4])
@@ -913,6 +969,7 @@ def run_joint_rl_step_once(cfg: Config, mesh=None, two_phase: bool = True):
             lang_reward_weight=cfg.train.lang_reward_weight,
             listener_reward_weight=cfg.train.listener_reward_weight,
             caption_reward_weight=cfg.train.caption_reward_weight,
+            xe_weight=float(cfg.train.get("rl_xe_weight", 0.0) or 0.0),
         ))
         rng = jax.random.key(5)
         if two_phase:
@@ -923,7 +980,9 @@ def run_joint_rl_step_once(cfg: Config, mesh=None, two_phase: bool = True):
                 n_rows * topn, -1)
             ids_b = np.repeat(np.asarray(rollout["baseline_cap"]), topn,
                               axis=0)
-            gt = np.repeat(np.asarray(lang["lang_ids"]), topn, axis=0)
+            gt = np.repeat(
+                np.asarray(lang.get("gt_refs", lang["lang_ids"])), topn,
+                axis=0)
             ann = np.repeat(np.asarray(lang["annotated"]), topn, axis=0)
             s_sc = jnp.asarray(reward_fn(ids_s, gt, ann))
             b_sc = jnp.asarray(reward_fn(ids_b, gt, ann))

@@ -149,3 +149,48 @@ def test_morton_order_preserves_roots_as_point_indices():
     roots = set(root[root >= 0])
     for r in roots:
         assert root[r] == r
+
+
+def test_worst_case_recall_at_scale():
+    """VERDICT r3 #9: split-instance rate at 131k-voxel scale.
+
+    Worst case for the banded ladder: one LARGE connected instance (a
+    dense floor-scale plane — neighbors straddle high-level Morton
+    boundaries, so same-component pairs can be >256 ranks apart in curve
+    1) interleaved in Morton order with tens of thousands of same-label
+    clutter points that inflate rank distances but must NOT connect
+    (placed > radius away).  Ground truth: the plane is ONE component.
+    The dual-curve design (axis-permuted translated curve 2) must keep
+    the split-instance rate at zero; ballquery meanActive semantics is
+    the reference's analogue (conf/pointgroup.yaml:157-159).
+    """
+    rng = np.random.default_rng(7)
+    # plane: 90k points on a 4m x 4m sheet, 1.5cm jitter, grid pitch 1.3cm
+    side = 300
+    g = np.stack(np.meshgrid(np.arange(side), np.arange(side)), -1)
+    plane = np.zeros((side * side, 3), np.float32)
+    plane[:, :2] = g.reshape(-1, 2) * 0.0133
+    plane[:, 2] = 0.5
+    plane += rng.normal(scale=0.002, size=plane.shape).astype(np.float32)
+    # clutter: 40k same-label points in a slab well above the plane
+    # (z >= 0.7 > radius + cell diagonal away: never legally connected)
+    n_clut = 40_000
+    clut = np.stack([
+        rng.uniform(0, 4, n_clut), rng.uniform(0, 4, n_clut),
+        rng.uniform(0.7, 3.0, n_clut),
+    ], 1).astype(np.float32)
+    coords = np.concatenate([plane, clut])
+    n_plane = len(plane)
+    sem = np.full(len(coords), 4, np.int32)
+    valid = np.ones(len(coords), bool)
+    root = np.asarray(grid_cluster(
+        jnp.asarray(coords), jnp.asarray(sem), jnp.asarray(valid),
+        num_iters=16,
+    ))
+    plane_roots, counts = np.unique(root[:n_plane], return_counts=True)
+    split_rate = 1.0 - counts.max() / n_plane
+    # no plane point may merge with clutter
+    assert not np.isin(plane_roots, np.unique(root[n_plane:])).any()
+    # the instance must survive essentially unsplit
+    assert split_rate < 0.01, (
+        f"split rate {split_rate:.4f}, {len(plane_roots)} fragments")
