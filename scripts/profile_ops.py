@@ -147,7 +147,7 @@ def main():
             max_instances=32, conv_impl=args.conv,
         )
         batch = jax.tree.map(jnp.asarray, build_batch(scenes, spec))
-        t0 = {k[3:]: v for k, v in batch.items() if k.startswith("l0_")}
+        t0 = batch["tables"][0]
         cap = spec.caps()[0]
         x = jax.random.normal(jax.random.key(1), (4, cap, 16), jnp.bfloat16)
         w = jax.random.normal(jax.random.key(2), (27, 16, 16), jnp.float32)
