@@ -17,7 +17,12 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from d3net_tpu.data.synthetic import Scene
-from d3net_tpu.ops.voxelize import build_block_maps, build_unet_maps, voxelize
+from d3net_tpu.ops.voxelize import (
+    build_block_maps,
+    build_column_maps,
+    build_unet_maps,
+    voxelize,
+)
 
 
 @dataclass
@@ -35,11 +40,13 @@ class BatchSpec:
     multiview_dim: int = 128
     num_levels: int = 7
     # "gather": per-voxel 27-neighbor tables + gather-matmul conv.
-    # "block":  8^3 block-dense tables + conv3d (docs/perf_notes.md) —
-    #           ~10x cheaper host collate AND removes the device gather
-    #           bottleneck.
+    # "block":  8^3 block-dense tables + conv3d (docs/perf_notes.md).
+    # "column": z-folded column tables + banded matmuls — ~4-5x fewer
+    #           random gather rows than "gather" with none of "block"'s
+    #           block-dense inflation (docs/perf_notes.md round 4).
     conv_impl: str = "gather"
     block_caps: Sequence[int] = ()      # per-level block capacities
+    column_caps: Sequence[int] = ()     # per-level column capacities
 
     def feat_dim(self) -> int:
         return (
@@ -68,6 +75,15 @@ class BatchSpec:
         # makes that chunking slice-free (ops/block_conv.py).
         return [-(-(max(64, c // 20) + 1) // 512) * 512 - 1
                 for c in self.caps()]
+
+    def col_caps(self) -> List[int]:
+        if self.column_caps:
+            return list(self.column_caps)
+        # ScanNet surfaces put ~1.3-2 voxels in an 8-cell z-column at the
+        # fine levels (mostly horizontal supports); deeper levels get
+        # z-denser as the grid coarsens, but their caps are small anyway.
+        # cap//2 leaves margin; overflow is tracked per scene.
+        return [max(64, c // 2) for c in self.caps()]
 
 
 def scene_features(scene: Scene, spec: BatchSpec) -> np.ndarray:
@@ -146,14 +162,19 @@ def build_batch(scenes: List[Scene], spec: BatchSpec) -> Dict[str, np.ndarray]:
     b = len(scenes)
 
     block_mode = spec.conv_impl == "block"
+    column_mode = spec.conv_impl == "column"
     nb_caps = spec.nb_caps() if block_mode else []
+    c_caps = spec.col_caps() if column_mode else []
 
     out: Dict[str, np.ndarray] = {}
-    keys = (
-        ["vox2cell", "block_nbr", "mask", "block_child", "block_parent",
-         "block_quad"]
-        if block_mode else ["nbr", "mask", "down", "up"]
-    )
+    if block_mode:
+        keys = ["vox2cell", "block_nbr", "mask", "block_child",
+                "block_parent", "block_quad"]
+    elif column_mode:
+        keys = ["vox2col", "col_nbr", "col_zm", "col_zp", "mask",
+                "col_child", "col_parent", "col_quad"]
+    else:
+        keys = ["nbr", "mask", "down", "up"]
     per_level: List[Dict[str, List[np.ndarray]]] = [
         {k: [] for k in keys} for _ in caps
     ]
@@ -196,6 +217,17 @@ def build_batch(scenes: List[Scene], spec: BatchSpec) -> Dict[str, np.ndarray]:
                         "voxels (nb_cap=%d too small)",
                         s_i, li, bm.overflow_voxels, nb_caps[li],
                     )
+        elif column_mode:
+            levels, blocks = build_column_maps(vc, caps, c_caps)
+            for li, cm in enumerate(blocks):
+                if cm.overflow_voxels:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "column cap overflow: scene %d level %d dropped %d "
+                        "voxels (col_cap=%d too small)",
+                        s_i, li, cm.overflow_voxels, c_caps[li],
+                    )
         else:
             levels = build_unet_maps(vc, caps)
             blocks = None
@@ -231,6 +263,16 @@ def build_batch(scenes: List[Scene], spec: BatchSpec) -> Dict[str, np.ndarray]:
                     per_level[li]["block_child"].append(bm.block_child)
                     per_level[li]["block_parent"].append(bm.block_parent)
                     per_level[li]["block_quad"].append(bm.block_quad)
+            elif column_mode:
+                cm = blocks[li]
+                per_level[li]["vox2col"].append(cm.vox2col)
+                per_level[li]["col_nbr"].append(cm.col_nbr)
+                per_level[li]["col_zm"].append(cm.col_zm)
+                per_level[li]["col_zp"].append(cm.col_zp)
+                if cm.col_child is not None:
+                    per_level[li]["col_child"].append(cm.col_child)
+                    per_level[li]["col_parent"].append(cm.col_parent)
+                    per_level[li]["col_quad"].append(cm.col_quad)
             else:
                 per_level[li]["nbr"].append(lv.nbr)
                 if lv.down is not None:

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from d3net_tpu.ops import block_conv as bc
+from d3net_tpu.ops import column_conv as cc
 from d3net_tpu.ops.sparse_conv import sparse_conv_t
 
 # Per-level table dict keys (batched, static shapes), gather mode:
@@ -45,6 +46,14 @@ _down_rows_b = jax.vmap(bc.down_conv_rows,
                         in_axes=(0, None, 0, 0, 0, 0, 0, 0, 0))
 _up_rows_b = jax.vmap(bc.up_conv_rows,
                       in_axes=(0, None, 0, 0, 0, 0, 0, 0, 0))
+
+# batched row-space z-column convs (ops/column_conv.py, round-4 gather-row
+# redesign) — same row-space activation / row-space residual properties
+_subm_col_b = jax.vmap(cc.subm_col_rows, in_axes=(0, None, 0, 0, 0, 0, 0))
+_down_col_b = jax.vmap(cc.down_col_rows,
+                       in_axes=(0, None, 0, 0, 0, 0, 0, 0, 0))
+_up_col_b = jax.vmap(cc.up_col_rows,
+                     in_axes=(0, None, 0, 0, 0, 0, 0, 0, 0))
 
 
 def block_occ(t: LevelTables):
@@ -73,6 +82,28 @@ def up_rows(x, t_f: LevelTables, t_c: LevelTables, w):
     return _up_rows_b(
         x, w, t_c["vox2cell"], t_c["mask"], t_f["block_child"],
         t_f["block_parent"], t_f["block_quad"], t_f["vox2cell"], t_f["mask"]
+    )
+
+
+def subm_cols(x, t: LevelTables, w):
+    """(B, cap, Cin) rows -> (B, cap, Cout): batched z-column subm conv."""
+    return _subm_col_b(x, w, t["vox2col"], t["mask"], t["col_nbr"],
+                       t["col_zm"], t["col_zp"])
+
+
+def down_cols(x, t_f: LevelTables, t_c: LevelTables, w):
+    """(B, capf, Cin) fine rows -> (B, capc, Cout) coarse rows."""
+    return _down_col_b(
+        x, w, t_f["vox2col"], t_f["mask"], t_f["col_child"],
+        t_f["col_parent"], t_f["col_quad"], t_c["vox2col"], t_c["mask"]
+    )
+
+
+def up_cols(x, t_f: LevelTables, t_c: LevelTables, w):
+    """(B, capc, Cin) coarse rows -> (B, capf, Cout) fine rows."""
+    return _up_col_b(
+        x, w, t_c["vox2col"], t_c["mask"], t_f["col_child"],
+        t_f["col_parent"], t_f["col_quad"], t_f["vox2col"], t_f["mask"]
     )
 
 
@@ -144,8 +175,8 @@ class SubmConv(nn.Module):
             (self.kernel_volume, cin, self.out_channels),
         )
         if isinstance(nbr, dict):
-            # block mode, row-space in/out; the custom-VJP op handles wide
-            # input channels (the 134-dim input conv) by chunking internally
+            # block/column mode, row-space in/out; the block custom-VJP op
+            # handles wide input channels (134-dim input conv) by chunking
             t = nbr
             if self.kernel_volume == 1:
                 out = jnp.einsum(
@@ -154,11 +185,17 @@ class SubmConv(nn.Module):
                 ).astype(feats.dtype)
                 return out * t["mask"].astype(out.dtype)[..., None]
             assert self.kernel_volume == 27
+            if "col_nbr" in t:
+                return subm_cols(feats, t, w)
             return subm_rows(feats, t, w)
         if isinstance(nbr, tuple) and isinstance(nbr[0], dict):
-            # block mode stride-2 pair: (t_fine, t_coarse, "down"|"up")
+            # block/column mode stride-2 pair: (t_fine, t_coarse, "down"|"up")
             t_f, t_c, direction = nbr
             assert self.kernel_volume == 8
+            if "col_nbr" in t_f:
+                if direction == "down":
+                    return down_cols(feats, t_f, t_c, w)
+                return up_cols(feats, t_f, t_c, w)
             if direction == "down":
                 return down_rows(feats, t_f, t_c, w)
             return up_rows(feats, t_f, t_c, w)
@@ -217,7 +254,7 @@ class UBlock(nn.Module):
     @nn.compact
     def __call__(self, x, tables: List[LevelTables], train: bool):
         t0 = tables[0]
-        bm = "block_nbr" in t0
+        bm = "block_nbr" in t0 or "col_nbr" in t0
         block = ResidualBlock if self.residual else VGGBlock
         if self.remat and not bm:
             # gather mode: TPU activations with small channel dims pad 2-8x

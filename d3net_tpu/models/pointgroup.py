@@ -115,7 +115,7 @@ class PointGroup(nn.Module):
         # lets XLA DCE the input conv's dx branch in the backward — at
         # flagship width (134 channels) that transient alone is gigabytes
         voxel_feats = jax.lax.stop_gradient(voxel_feats)
-        if "block_nbr" in t0:  # block-dense conv path (docs/perf_notes.md)
+        if "block_nbr" in t0 or "col_nbr" in t0:  # block/column conv paths
             # activations stay ROW-space end to end; blocks/conv3d form
             # exists only transiently inside each conv's fwd and custom-VJP
             # bwd (channel-chunked for the wide input conv)

@@ -362,3 +362,178 @@ def build_block_maps(coords: np.ndarray, caps: List[int], nb_caps: List[int]):
             coarse, _ = downsample_level(cur)
             cur = coarse
     return levels, blocks
+
+
+# ---------------------------------------------------------------------------
+# Z-column folded conv tables (round-4 gather-row redesign)
+# ---------------------------------------------------------------------------
+
+COLZ = 8  # z-cells per column (== block edge; band matrices are shared)
+
+
+@dataclass
+class ColumnMaps:
+    """Static-shape z-column tables for one U-Net level (one scene).
+
+    The gather conv is bound by random-gather ROW COUNT (~15ns/row on v5e
+    regardless of row bytes — docs/perf_notes.md round 4); folding only z
+    into lanes cuts rows ~5x at ~1.3-2 voxels per 8-cell column on ScanNet
+    surfaces, without the 8^3 block path's 17-26x block-dense inflation.
+    Consumed by :mod:`d3net_tpu.ops.column_conv`.
+    """
+
+    num_cols: int
+    vox2col: np.ndarray             # (cap,) int32 col*8+z_local; INVALID = ccap*8
+    col_nbr: np.ndarray             # (ccap, 9) xy-offset neighbors; INVALID = ccap
+    col_zm: np.ndarray              # (ccap,) column at z-block -1; INVALID = ccap
+    col_zp: np.ndarray              # (ccap,) column at z-block +1; INVALID = ccap
+    col_child: Optional[np.ndarray] = None   # (ccap_c, 8) fine columns; INVALID = ccap_f
+    col_parent: Optional[np.ndarray] = None  # (ccap_f,) coarse column; INVALID = ccap_c
+    col_quad: Optional[np.ndarray] = None    # (ccap_f,) 4*(fx&1)+2*(fy&1)+(fzb&1)
+    overflow_voxels: int = 0
+    dropped_phantoms: int = 0   # phantom columns past the cap (recall loss)
+
+
+def _column_list(coords: np.ndarray, ccap: int):
+    """Unique column coords (x, y, z>>3) + required phantoms, cap ccap.
+
+    A submanifold contribution that crosses a column's z boundary under a
+    diagonal xy offset flows through the AUGMENTED row of the mid column
+    (x+ox, y+oy, zb) — see column_conv._augment.  If that mid column holds
+    no voxels it would not exist and the contribution would silently drop
+    (the same transitive-halo trap block_conv documents).  Fix: append
+    PHANTOM columns (all-zero features, real zm/zp/nbr links) at every
+    position that is (a) z-adjacent to an occupied column and (b) an
+    xy-neighbor of an occupied column at its own z-block.
+
+    Returns (col_coords (nc, 3) int64 — occupied first, then phantoms,
+    vox_col (M,) int32 with INVALID = ccap for voxels whose column fell
+    past the cap, nc).
+    """
+    cc = coords.astype(np.int64).copy()
+    cc[:, 2] //= COLZ
+    keys = pack_keys(cc)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    n_occ = min(len(uniq), ccap)
+    vox_col = np.where(inv < n_occ, inv, ccap).astype(np.int32)
+    order = np.argsort(keys, kind="stable")
+    first = order[np.searchsorted(keys[order], uniq[:n_occ], side="left")]
+    occ_c = cc[first]
+
+    # phantom set: (z-dilation of occupied) & (xy-dilation of occupied) - occ
+    occ_set = uniq[:n_occ]
+    zdil = np.concatenate([
+        pack_keys(occ_c + np.asarray([0, 0, 1])),
+        pack_keys(occ_c + np.asarray([0, 0, -1])),
+    ])
+    xyd = []
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            if (ox, oy) != (0, 0):
+                xyd.append(pack_keys(occ_c + np.asarray([ox, oy, 0])))
+    xydil = np.unique(np.concatenate(xyd))
+    phant = np.intersect1d(np.unique(zdil), xydil, assume_unique=True)
+    phant = np.setdiff1d(phant, occ_set, assume_unique=True)
+    n_ph = min(len(phant), ccap - n_occ)
+    if n_ph > 0:
+        pk = phant[:n_ph]
+        z = np.mod(pk, _KEY_BOUND) - _KEY_BIAS
+        rest = pk // _KEY_BOUND
+        y = np.mod(rest, _KEY_BOUND) - _KEY_BIAS
+        x = rest // _KEY_BOUND - _KEY_BIAS
+        occ_c = np.concatenate([occ_c, np.stack([x, y, z], axis=1)])
+    dropped_ph = len(phant) - max(n_ph, 0)
+    return occ_c, vox_col, n_occ + max(n_ph, 0), dropped_ph
+
+
+def build_column_maps(coords: np.ndarray, caps: List[int],
+                      col_caps: List[int]):
+    """Z-column tables for every U-Net level of one scene.
+
+    Level voxel lists/truncation match build_unet_maps exactly (same
+    downsample_level), so p2v and loss supervision are unchanged.
+    Returns (levels: List[LevelMaps] with nbr empty, cols: List[ColumnMaps]).
+    """
+    levels: List[LevelMaps] = []
+    cols: List[ColumnMaps] = []
+    cur = coords
+    prev_ccoords = None
+    for li, (cap, ccap) in enumerate(zip(caps, col_caps)):
+        m = min(len(cur), cap)
+        cur = cur[:m]
+        ccoords, vox_col, nc, dropped_ph = _column_list(cur, ccap)
+        zloc = np.mod(cur[:, 2].astype(np.int64), COLZ)
+        vox2col = np.where(
+            vox_col < ccap,
+            vox_col.astype(np.int64) * COLZ + zloc,
+            ccap * COLZ,
+        ).astype(np.int32)
+
+        ckeys = pack_keys(ccoords)
+        corder = np.argsort(ckeys, kind="stable")
+        sk, so = ckeys[corder], corder
+        cb = ccoords + _KEY_BIAS
+        col_nbr = np.empty((nc, 9), dtype=np.int32)
+        k = 0
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                q = ((cb[:, 0] + ox) * _KEY_BOUND
+                     + (cb[:, 1] + oy)) * _KEY_BOUND + cb[:, 2]
+                col_nbr[:, k] = _lookup(sk, so, q, ccap)
+                k += 1
+        qzm = (cb[:, 0] * _KEY_BOUND + cb[:, 1]) * _KEY_BOUND + (cb[:, 2] - 1)
+        qzp = (cb[:, 0] * _KEY_BOUND + cb[:, 1]) * _KEY_BOUND + (cb[:, 2] + 1)
+        col_zm = _lookup(sk, so, qzm, ccap)
+        col_zp = _lookup(sk, so, qzp, ccap)
+
+        cm = ColumnMaps(
+            num_cols=nc,
+            vox2col=_pad_rows(vox2col, cap, ccap * COLZ),
+            col_nbr=_pad_rows(col_nbr, ccap, ccap),
+            col_zm=_pad_rows(col_zm, ccap, ccap),
+            col_zp=_pad_rows(col_zp, ccap, ccap),
+            overflow_voxels=int((vox_col >= ccap).sum()),
+            dropped_phantoms=dropped_ph,
+        )
+        lv = LevelMaps(
+            num_voxels=m,
+            coords=_pad_rows(cur.astype(np.int32), cap, 0),
+            nbr=np.zeros((0, 0), np.int32),  # unused in column mode
+        )
+
+        if prev_ccoords is not None:
+            # this level is the coarse side of the (li-1, li) pair: child
+            # fine columns at (2x+ox, 2y+oy, 2zb+oz); fine parent = c>>1
+            fk = pack_keys(prev_ccoords)
+            forder = np.argsort(fk, kind="stable")
+            fsk, fso = fk[forder], forder
+            prev_ccap = col_caps[li - 1]
+            base = ccoords * 2 + _KEY_BIAS
+            child = np.empty((nc, 8), dtype=np.int32)
+            for k2, o in enumerate(_offsets(2)):
+                q = ((base[:, 0] + o[0]) * _KEY_BOUND
+                     + (base[:, 1] + o[1])) * _KEY_BOUND + (base[:, 2] + o[2])
+                child[:, k2] = _lookup(fsk, fso, q, prev_ccap)
+            # pair tables live on the FINE level's map (same convention as
+            # build_block_maps): models/blocks.py passes (t_fine, t_coarse)
+            cols[-1].col_child = _pad_rows(child, ccap, prev_ccap)
+
+            pc = np.floor_divide(prev_ccoords, 2) + _KEY_BIAS
+            q = (pc[:, 0] * _KEY_BOUND + pc[:, 1]) * _KEY_BOUND + pc[:, 2]
+            parent = _lookup(sk, so, q, ccap)
+            quad = (
+                np.mod(prev_ccoords[:, 0], 2) * 4
+                + np.mod(prev_ccoords[:, 1], 2) * 2
+                + np.mod(prev_ccoords[:, 2], 2)
+            ).astype(np.int32)
+            cols[-1].col_parent = _pad_rows(parent, prev_ccap, ccap)
+            cols[-1].col_quad = _pad_rows(quad, prev_ccap, 0)
+
+        levels.append(lv)
+        cols.append(cm)
+        prev_ccoords = ccoords
+
+        if li + 1 < len(caps):
+            coarse, _ = downsample_level(cur)
+            cur = coarse
+    return levels, cols
