@@ -57,14 +57,18 @@ BATCH = 4
 REF_SCENES_PER_SEC_ASSUMED = 5.0  # unpublished; conservative estimate
 PEAK_FLOPS = 197e12  # v5e bf16 peak
 
-# production backbone: gather-matmul conv with the row-space custom VJP
-# (sparse_conv_t).  Measured r4 on one v5e chip: gather fwd 2.97s/B4 and
-# TRAIN 12.53s/B4 (the flagship backward fits HBM — residuals are rows
-# only); the folded block conv measured fwd 5.43s/B4 and its train step
-# does not compile remotely (tpu_compile_helper HTTP 500) — see
-# docs/perf_notes.md round 4.  D3NET_BENCH_CONV=block re-runs the
-# block-dense path.
+# production backbone paths (docs/perf_notes.md round 4):
+#  - INFERENCE: z-column folded conv (ops/column_conv.py) — measured fwd
+#    2.45s/B4 vs gather 4.14s on one v5e; weights interchange across
+#    conv implementations (oracle-tested).
+#  - TRAINING: gather-matmul conv with the row-space custom VJP
+#    (sparse_conv_t), measured TRAIN 12.53s/B4 (backward fits HBM).  The
+#    column and block TRAIN programs both crash the remote compile
+#    service (tpu_compile_helper HTTP 500) — an environment limit, not a
+#    numerics one (their grads are oracle-tested on CPU).
+# D3NET_BENCH_CONV / D3NET_BENCH_CONV_INFER override either path.
 CONV_IMPL = os.environ.get("D3NET_BENCH_CONV", "gather")
+CONV_IMPL_INFER = os.environ.get("D3NET_BENCH_CONV_INFER", "column")
 
 PROBE_BUDGET_S = float(os.environ.get("D3NET_BENCH_PROBE_S", "240"))
 PHASE_BUDGET_S = float(os.environ.get("D3NET_BENCH_PHASE_S", "1100"))
@@ -80,7 +84,7 @@ def _setup_runtime():
     _rt.setup()
 
 
-def build_bench_batch():
+def build_bench_batch(conv_impl=None):
     from d3net_tpu.data.collate import BatchSpec, build_batch
     from d3net_tpu.data.synthetic import make_scene
 
@@ -101,7 +105,7 @@ def build_bench_batch():
         max_instances=32,
         use_multiview=True,
         use_normal=True,
-        conv_impl=CONV_IMPL,
+        conv_impl=conv_impl or CONV_IMPL,
     )
     return scenes, spec, build_batch
 
@@ -168,7 +172,7 @@ def phase_fwd():
     from d3net_tpu.ops import native
 
     model = PointGroup(compute_dtype="bfloat16")
-    scenes, spec, build_batch = build_bench_batch()
+    scenes, spec, build_batch = build_bench_batch(CONV_IMPL_INFER)
     _progress("scenes built; timing host collate")
     host_ts = []
     for _ in range(3):
@@ -395,10 +399,18 @@ def main():
             "estimate"),
         "batch": BATCH,
         "conv_impl": CONV_IMPL,
+        "conv_impl_infer": CONV_IMPL_INFER,
     }
     errors = []
 
     probe = _spawn_phase("probe", PROBE_BUDGET_S)
+    if not probe.get("ok"):
+        # the tunneled worker shows minute-scale tail latencies right after
+        # a heavy compile; one retry distinguishes "slow" from "dead"
+        # (budget math: 2 x 240s probe + 2 x 1100s phases = 2680s, still
+        # under the driver's patience — see module docstring)
+        time.sleep(20)
+        probe = _spawn_phase("probe", PROBE_BUDGET_S)
     if not probe.get("ok"):
         print(json.dumps({
             "metric": "detector_fwd_scenes_per_sec", "value": None,

@@ -29,7 +29,7 @@ def _setup(cfg, run_dir):
 
     vocab, emb = build_vocab(cfg)
     model = pipeline_from_cfg(cfg, vocab)
-    spec = spec_from_cfg(cfg)
+    spec = spec_from_cfg(cfg, infer=True)
     _, val_it = make_dataloaders(cfg, spec, return_scenes=True)
     chunk = int(cfg.data.num_des_per_scene)
     mesh = make_mesh()

@@ -258,7 +258,19 @@ def detector_from_cfg(cfg: Config) -> PointGroup:
     )
 
 
-def spec_from_cfg(cfg: Config) -> BatchSpec:
+def spec_from_cfg(cfg: Config, infer: bool = False) -> BatchSpec:
+    """Batch layout from config.
+
+    ``infer=True`` selects ``tpu.conv_impl_infer`` (falling back to
+    ``tpu.conv_impl``): inference/eval runs the z-column conv (fastest
+    measured forward) while training stays on the gather conv, whose
+    backward is the only one the remote TPU compiler accepts at flagship
+    scale (docs/perf_notes.md round 4).  Weights interchange across conv
+    implementations (tests/test_column_conv.py, test_block_conv.py).
+    """
+    conv_impl = cfg.tpu.get("conv_impl", "gather") or "gather"
+    if infer:
+        conv_impl = cfg.tpu.get("conv_impl_infer") or conv_impl
     return BatchSpec(
         max_points=cfg.data.max_num_point,
         voxel_caps=list(cfg.tpu.voxel_caps),
@@ -270,8 +282,9 @@ def spec_from_cfg(cfg: Config) -> BatchSpec:
         use_normal=cfg.model.use_normal,
         use_multiview=cfg.model.use_multiview,
         num_levels=len(cfg.model.blocks),
-        conv_impl=cfg.tpu.get("conv_impl", "gather") or "gather",
+        conv_impl=conv_impl,
         block_caps=list(cfg.tpu.get("block_caps") or ()),
+        column_caps=list(cfg.tpu.get("column_caps") or ()),
     )
 
 

@@ -38,7 +38,7 @@ def eval_detection(cfg, run_dir):
     )
     from d3net_tpu.train.trainer import create_train_state, jit_eval_step, make_optimizer
 
-    spec = spec_from_cfg(cfg)
+    spec = spec_from_cfg(cfg, infer=True)
     model = detector_from_cfg(cfg)
     _, val_it = make_dataloaders(cfg, spec)
     mesh = make_mesh()

@@ -125,7 +125,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="fwd",
                     choices=["fwd", "train", "conv0", "backbone"])
-    ap.add_argument("--conv", default="block", choices=["gather", "block"])
+    ap.add_argument("--conv", default="block", choices=["gather", "block", "column"])
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default=None)
     args = ap.parse_args()
@@ -154,6 +154,8 @@ def main():
 
         if args.conv == "block":
             f = jax.jit(lambda x, w: mblocks.subm_rows(x, t0, w).sum())
+        elif args.conv == "column":
+            f = jax.jit(lambda x, w: mblocks.subm_cols(x, t0, w).sum())
         else:
             f = jax.jit(lambda x, w: mblocks._batched_conv(
                 x, t0["nbr"], t0["nbr"], w, True).sum())
