@@ -424,10 +424,12 @@ def main():
     fwd = _spawn_phase("fwd", PHASE_BUDGET_S)
     scenes_per_sec = None
     if fwd.get("ok"):
-        for k in ("fwd_step_ms", "scan_walls_ms", "flops_bound_scenes_per_sec",
-                  "host_pipeline_s_per_batch", "native_collate_used"):
-            if k in fwd:
-                detail[k] = fwd[k]
+        # copy every diagnostic the phase emitted (ADVICE r4: a fixed
+        # allowlist silently dropped loop_walls_ms / train_loop_error /
+        # train_loss_drop_3steps when phase key names evolved)
+        for k, v in fwd.items():
+            if k not in ("ok", "phase_wall_s"):
+                detail[k] = v
         fwd_ms = fwd.get("fwd_step_ms")
         bound = fwd.get("flops_bound_scenes_per_sec")
         if fwd_ms is not None and fwd_ms > 0:
@@ -445,10 +447,9 @@ def main():
 
     train = _spawn_phase("train", PHASE_BUDGET_S)
     if train.get("ok"):
-        for k in ("train_step_ms", "train_path", "train_scan_error",
-                  "train_loss_drop_7steps"):
-            if k in train:
-                detail[k] = train[k]
+        for k, v in train.items():
+            if k not in ("ok", "phase_wall_s"):
+                detail[k] = v
         tms = train.get("train_step_ms")
         if tms and tms > 0:
             detail["train_scenes_per_sec"] = round(BATCH / (tms / 1e3), 3)

@@ -11,6 +11,8 @@ Parity: ``lib/dataset/pipeline.py:917-995`` (collate + voxelize_idx) and
 
 from __future__ import annotations
 
+import logging
+import threading
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
 
@@ -84,6 +86,42 @@ class BatchSpec:
         # z-denser as the grid coarsens, but their caps are small anyway.
         # cap//2 leaves margin; overflow is tracked per scene.
         return [max(64, c // 2) for c in self.caps()]
+
+
+class CapStats:
+    """Thread-safe counters for silent-truncation telemetry (SURVEY §7
+    hard-part #3: a silently-saturating static cap is the failure mode the
+    fixed-shape design must surface).  ``build_batch`` increments these;
+    train/eval loops snapshot-and-reset per log interval so
+    ``metrics.jsonl`` carries them (VERDICT r4 item 8)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.reset()
+
+    def reset(self) -> Dict[str, int]:
+        with self._lock:
+            snap = dict(getattr(self, "_c", {}))
+            self._c = {
+                "cap_points_truncated": 0,   # points beyond max_points
+                "cap_voxel_overflow": 0,     # voxels past caps[0] (p2v -> pad)
+                "cap_level_overflow": 0,     # block/column voxels past caps
+                "cap_dropped_phantoms": 0,   # phantom columns past col cap
+                "batches": 0,
+            }
+        return snap
+
+    def add(self, **kw: int) -> None:
+        with self._lock:
+            for k, v in kw.items():
+                self._c[k] = self._c.get(k, 0) + int(v)
+
+    def snapshot(self) -> Dict[str, int]:
+        with self._lock:
+            return dict(self._c)
+
+
+CAP_STATS = CapStats()
 
 
 def scene_features(scene: Scene, spec: BatchSpec) -> np.ndarray:
@@ -197,12 +235,17 @@ def build_batch(scenes: List[Scene], spec: BatchSpec) -> Dict[str, np.ndarray]:
 
     for s_i, scene in enumerate(scenes):
         n = min(len(scene.xyz), np_cap)
+        if len(scene.xyz) > np_cap:
+            CAP_STATS.add(cap_points_truncated=len(scene.xyz) - np_cap)
         xyz = scene.xyz[:n]
         # quantize: shift to non-negative, scale, floor (reference scales x50)
         scaled = (xyz - xyz.min(0)) * spec.scale
         coords_int = np.floor(scaled).astype(np.int32)
         vc, p2v, _counts = voxelize(coords_int)
         # truncate voxels beyond cap; orphaned points -> INVALID
+        n_over = int((p2v >= caps[0]).sum())
+        if n_over:
+            CAP_STATS.add(cap_voxel_overflow=n_over)
         p2v = np.where(p2v >= caps[0], caps[0], p2v).astype(np.int32)
         if block_mode:
             levels, blocks = build_block_maps(vc, caps, nb_caps)
@@ -210,24 +253,32 @@ def build_batch(scenes: List[Scene], spec: BatchSpec) -> Dict[str, np.ndarray]:
                 if bm.overflow_voxels:
                     # silent block-cap overflow would drop features (the pad
                     # block is kept all-zero) — make misconfiguration visible
-                    import logging
-
                     logging.getLogger(__name__).warning(
                         "block cap overflow: scene %d level %d dropped %d "
                         "voxels (nb_cap=%d too small)",
                         s_i, li, bm.overflow_voxels, nb_caps[li],
                     )
+                    CAP_STATS.add(cap_level_overflow=bm.overflow_voxels)
         elif column_mode:
             levels, blocks = build_column_maps(vc, caps, c_caps)
             for li, cm in enumerate(blocks):
                 if cm.overflow_voxels:
-                    import logging
-
                     logging.getLogger(__name__).warning(
                         "column cap overflow: scene %d level %d dropped %d "
                         "voxels (col_cap=%d too small)",
                         s_i, li, cm.overflow_voxels, c_caps[li],
                     )
+                    CAP_STATS.add(cap_level_overflow=cm.overflow_voxels)
+                if cm.dropped_phantoms:
+                    # phantoms carry cross-z-boundary conv contributions;
+                    # dropping them silently breaks exact weight interchange
+                    # across conv impls (ADVICE r4) — warn like overflow
+                    logging.getLogger(__name__).warning(
+                        "column phantom overflow: scene %d level %d dropped "
+                        "%d phantom columns (col_cap=%d too small)",
+                        s_i, li, cm.dropped_phantoms, c_caps[li],
+                    )
+                    CAP_STATS.add(cap_dropped_phantoms=cm.dropped_phantoms)
         else:
             levels = build_unet_maps(vc, caps)
             blocks = None
@@ -284,4 +335,5 @@ def build_batch(scenes: List[Scene], spec: BatchSpec) -> Dict[str, np.ndarray]:
         t = {k: np.stack(v) for k, v in per_level[li].items() if v}
         tables.append(t)
     out["tables"] = tables
+    CAP_STATS.add(batches=1)
     return out

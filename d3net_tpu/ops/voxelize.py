@@ -390,6 +390,7 @@ class ColumnMaps:
     col_child: Optional[np.ndarray] = None   # (ccap_c, 8) fine columns; INVALID = ccap_f
     col_parent: Optional[np.ndarray] = None  # (ccap_f,) coarse column; INVALID = ccap_c
     col_quad: Optional[np.ndarray] = None    # (ccap_f,) 4*(fx&1)+2*(fy&1)+(fzb&1)
+    col_occ: Optional[np.ndarray] = None     # (ccap, 8) uint8 occupied z-cells
     overflow_voxels: int = 0
     dropped_phantoms: int = 0   # phantom columns past the cap (recall loss)
 
@@ -486,12 +487,19 @@ def build_column_maps(coords: np.ndarray, caps: List[int],
         col_zm = _lookup(sk, so, qzm, ccap)
         col_zp = _lookup(sk, so, qzp, ccap)
 
+        # per-cell occupancy (column-resident conv masks unoccupied cells
+        # after every conv to preserve submanifold semantics)
+        occ = np.zeros((ccap, COLZ), np.uint8)
+        v2c_valid = vox2col[:m]
+        inb = v2c_valid < ccap * COLZ
+        occ[v2c_valid[inb] // COLZ, v2c_valid[inb] % COLZ] = 1
         cm = ColumnMaps(
             num_cols=nc,
             vox2col=_pad_rows(vox2col, cap, ccap * COLZ),
             col_nbr=_pad_rows(col_nbr, ccap, ccap),
             col_zm=_pad_rows(col_zm, ccap, ccap),
             col_zp=_pad_rows(col_zp, ccap, ccap),
+            col_occ=occ,
             overflow_voxels=int((vox_col >= ccap).sum()),
             dropped_phantoms=dropped_ph,
         )

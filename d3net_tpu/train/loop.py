@@ -423,6 +423,13 @@ def run_detector_training(cfg: Config, run_dir: str, max_steps: Optional[int] = 
             if step % cfg.train.log_every_n_steps == 0:
                 metrics = jax.device_get(metrics)
                 metrics["iter_time"] = time.time() - t0
+                # silent-truncation telemetry (SURVEY §7 hard-part #3):
+                # host cap counters since the last log line
+                from d3net_tpu.data.collate import CAP_STATS
+
+                for k, v in CAP_STATS.reset().items():
+                    if k != "batches":
+                        metrics[k] = v
                 logger.log(step, metrics, "train")
                 print(
                     f"epoch {epoch} step {step} "

@@ -17,3 +17,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # exact f32 matmuls so numpy oracles match bit-tight
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: the heavyweight suites (joint RL, detector
+# e2e, conv oracles) are compile-bound — warm reruns skip those minutes.
+_cache = os.environ.get(
+    "D3NET_TEST_JAX_CACHE", os.path.expanduser("~/.cache/jax_d3net_tests")
+)
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

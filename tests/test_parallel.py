@@ -57,7 +57,7 @@ def eight_devices():
     return devs[:8]
 
 
-def _run_step(devices, batch_np, optim="AdamW"):
+def _run_step(devices, batch_np, optim="AdamW", do_clustering=True):
     mesh = make_mesh(devices)
     model = _tiny_model()
     with jax.set_mesh(mesh):
@@ -65,7 +65,7 @@ def _run_step(devices, batch_np, optim="AdamW"):
         tx = make_optimizer(lr=1e-3, steps_per_epoch=10, optim=optim)
         state = create_train_state(model, batch, jax.random.key(0), tx)
         state = replicate(state, mesh)
-        step = jit_train_step(model)
+        step = jit_train_step(model, do_clustering=do_clustering)
         state, metrics = step(state, batch, jax.random.key(1))
         jax.block_until_ready(metrics["total_loss"])
     return state, metrics
@@ -127,4 +127,33 @@ def test_dp_equals_single_device(eight_devices):
     for a, b in zip(p1, p8):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-5
+        )
+
+
+def test_dp_equals_single_device_continuous_path(eight_devices):
+    """Tight dp equivalence on the clustering-free program (ADVICE r4).
+
+    The full-model check above absorbs cluster-chaotic noise with loosened
+    tolerances, which also weakens its power against small systematic
+    collective errors.  With clustering off (the ``prepare_epochs``
+    program: semantic + offset heads only) every op is continuous, so the
+    1-vs-8-device comparison keeps the original tight bounds — a cross-
+    device all-reduce bug in the continuous path fails loudly here.
+    """
+    batch_np = _batch(8)
+    s8, m8 = _run_step(eight_devices, batch_np, optim="SGD",
+                       do_clustering=False)
+    s1, m1 = _run_step(eight_devices[:1], batch_np, optim="SGD",
+                       do_clustering=False)
+    for k in ("semantic_loss", "offset_norm_loss", "offset_dir_loss",
+              "total_loss"):
+        np.testing.assert_allclose(
+            float(m1[k]), float(m8[k]), rtol=1e-5, atol=1e-6, err_msg=k
+        )
+    p1 = jax.tree.leaves(s1.params)
+    p8 = jax.tree.leaves(s8.params)
+    assert len(p1) == len(p8)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=2e-6
         )
