@@ -200,7 +200,10 @@ def build_batch(scenes: List[Scene], spec: BatchSpec) -> Dict[str, np.ndarray]:
     b = len(scenes)
 
     block_mode = spec.conv_impl == "block"
-    column_mode = spec.conv_impl == "column"
+    # "colres" (round 5) shares the column tables and adds the col2vox
+    # inverse map + per-cell occupancy for the column-resident conv path
+    colres_mode = spec.conv_impl == "colres"
+    column_mode = spec.conv_impl == "column" or colres_mode
     nb_caps = spec.nb_caps() if block_mode else []
     c_caps = spec.col_caps() if column_mode else []
 
@@ -210,7 +213,7 @@ def build_batch(scenes: List[Scene], spec: BatchSpec) -> Dict[str, np.ndarray]:
                 "block_parent", "block_quad"]
     elif column_mode:
         keys = ["vox2col", "col_nbr", "col_zm", "col_zp", "mask",
-                "col_child", "col_parent", "col_quad"]
+                "col_child", "col_parent", "col_quad", "col_occ", "col2vox"]
     else:
         keys = ["nbr", "mask", "down", "up"]
     per_level: List[Dict[str, List[np.ndarray]]] = [
@@ -320,6 +323,9 @@ def build_batch(scenes: List[Scene], spec: BatchSpec) -> Dict[str, np.ndarray]:
                 per_level[li]["col_nbr"].append(cm.col_nbr)
                 per_level[li]["col_zm"].append(cm.col_zm)
                 per_level[li]["col_zp"].append(cm.col_zp)
+                if colres_mode:
+                    per_level[li]["col_occ"].append(cm.col_occ)
+                    per_level[li]["col2vox"].append(cm.col2vox)
                 if cm.col_child is not None:
                     per_level[li]["col_child"].append(cm.col_child)
                     per_level[li]["col_parent"].append(cm.col_parent)

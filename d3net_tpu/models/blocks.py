@@ -20,6 +20,7 @@ from flax import linen as nn
 
 from d3net_tpu.ops import block_conv as bc
 from d3net_tpu.ops import column_conv as cc
+from d3net_tpu.ops import colres_conv as crc
 from d3net_tpu.ops.sparse_conv import sparse_conv_t
 
 # Per-level table dict keys (batched, static shapes), gather mode:
@@ -125,6 +126,13 @@ class MaskedBatchNorm(nn.Module):
     (``model/pointgroup.py:65-66``).  Under pjit with a sharded batch the
     statistics reductions become global automatically — strictly better
     than the reference's per-GPU unsynced BN.
+
+    Column-resident mode (round 5): a 2-D input ``x (N1, 8C)`` with cell
+    mask ``(N1, 8)`` computes the same per-channel statistics over occupied
+    z-cells WITHOUT relayouting to (N1, 8, C) — channel sums fold an (8C,)
+    lane reduction, and the affine applies via lane-tiled vectors.  Params
+    and running stats stay (C,): checkpoints interchange with every other
+    conv impl.
     """
 
     eps: float = 1e-4
@@ -132,11 +140,36 @@ class MaskedBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask, train: bool):
-        c = x.shape[-1]
+        cols_mode = x.ndim == 2
+        ncell = mask.shape[-1] if cols_mode else 1
+        c = x.shape[-1] // ncell if cols_mode else x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if cols_mode:
+            # m lanes: z-major [z0*C | z1*C | ...] matching the col layout
+            m = jnp.repeat(mask.astype(x.dtype), c, axis=-1)   # (N1, 8C)
+            if train:
+                count = jnp.maximum(
+                    mask.astype(jnp.float32).sum(), 1.0)
+                xf = x.astype(jnp.float32) * m
+                mean = xf.sum(axis=0).reshape(ncell, c).sum(0) / count
+                mean_t = jnp.tile(mean, ncell)
+                d = (x.astype(jnp.float32) - mean_t) * m
+                var = (d * d).sum(axis=0).reshape(ncell, c).sum(0) / count
+                if not self.is_initializing():
+                    ra_mean.value = (1 - self.momentum) * ra_mean.value \
+                        + self.momentum * mean
+                    ra_var.value = (1 - self.momentum) * ra_var.value \
+                        + self.momentum * var
+            else:
+                mean, var = ra_mean.value, ra_var.value
+            inv = jax.lax.rsqrt(var + self.eps) * scale
+            out = (x.astype(jnp.float32) - jnp.tile(mean, ncell)) \
+                * jnp.tile(inv, ncell) + jnp.tile(bias, ncell)
+            return out.astype(x.dtype) * m
 
         m = mask.astype(x.dtype)[..., None]  # (B, M, 1)
         if train:
@@ -168,16 +201,29 @@ class SubmConv(nn.Module):
 
     @nn.compact
     def __call__(self, feats, nbr, nbr_t=None, flip_t: bool = True):
-        cin = feats.shape[-1]
+        # column-resident flat mode carries z-folded lanes (8C); the kernel
+        # param keeps the per-voxel channel shape so checkpoints interchange
+        colres = (isinstance(nbr, dict) and "zm" in nbr) or (
+            isinstance(nbr, tuple) and isinstance(nbr[0], dict)
+            and "zm" in nbr[0])
+        cin = feats.shape[-1] // crc.COL if colres else feats.shape[-1]
         w = self.param(
             "kernel",
             nn.initializers.variance_scaling(2.0, "fan_in", "normal"),
             (self.kernel_volume, cin, self.out_channels),
         )
         if isinstance(nbr, dict):
+            t = nbr
+            if "zm" in t:
+                if self.kernel_volume == 1:
+                    out = crc.proj_cc(feats, w[0])
+                    occ = crc.occ_lanes(t, self.out_channels, out.dtype)
+                    return out * occ
+                assert self.kernel_volume == 27
+                return crc.subm_cc(feats, w, t["nbr"], t["zm"], t["zp"],
+                                   t["occ"])
             # block/column mode, row-space in/out; the block custom-VJP op
             # handles wide input channels (134-dim input conv) by chunking
-            t = nbr
             if self.kernel_volume == 1:
                 out = jnp.einsum(
                     "bmc,cd->bmd", feats, w[0].astype(feats.dtype),
@@ -192,6 +238,12 @@ class SubmConv(nn.Module):
             # block/column mode stride-2 pair: (t_fine, t_coarse, "down"|"up")
             t_f, t_c, direction = nbr
             assert self.kernel_volume == 8
+            if "zm" in t_f:
+                if direction == "down":
+                    return crc.down_cc(feats, w, t_f["child"], t_f["parent"],
+                                       t_f["quad"])
+                return crc.up_cc(feats, w, t_f["child"], t_f["parent"],
+                                 t_f["quad"])
             if "col_nbr" in t_f:
                 if direction == "down":
                     return down_cols(feats, t_f, t_c, w)
@@ -222,7 +274,10 @@ class ResidualBlock(nn.Module):
         h = _bn_any(MaskedBatchNorm(), h, mask, train)
         h = nn.relu(h)
         h = SubmConv(self.out_channels)(h, nbr)
-        if identity.shape[-1] != self.out_channels:
+        # column-resident feats carry z-folded lanes (8C): compare true C
+        colres = isinstance(nbr, dict) and "zm" in nbr
+        cin_id = identity.shape[-1] // 8 if colres else identity.shape[-1]
+        if cin_id != self.out_channels:
             identity = SubmConv(self.out_channels, kernel_volume=1)(
                 identity,
                 nbr if isinstance(nbr, dict) else nbr[..., 13:14],
@@ -254,7 +309,8 @@ class UBlock(nn.Module):
     @nn.compact
     def __call__(self, x, tables: List[LevelTables], train: bool):
         t0 = tables[0]
-        bm = "block_nbr" in t0 or "col_nbr" in t0
+        colres = "zm" in t0
+        bm = "block_nbr" in t0 or "col_nbr" in t0 or colres
         block = ResidualBlock if self.residual else VGGBlock
         if self.remat and not bm:
             # gather mode: TPU activations with small channel dims pad 2-8x
@@ -264,7 +320,7 @@ class UBlock(nn.Module):
             # row-space residuals, which fit easily.
             block = nn.remat(block, static_argnums=(4,))
         nbr0 = t0 if bm else t0["nbr"]
-        mask0 = t0["mask"]
+        mask0 = t0["occ"] if colres else t0["mask"]
         # explicit names: param paths stay identical whether or not the
         # block class is remat-wrapped (remat renames the class, and the two
         # conv modes differ in remat use — checkpoints must interchange)
@@ -273,7 +329,7 @@ class UBlock(nn.Module):
 
         if len(self.planes) > 1:
             t1 = tables[1]
-            mask1 = t1["mask"]
+            mask1 = t1["occ"] if colres else t1["mask"]
             identity = x
             h = _bn_any(MaskedBatchNorm(), x, mask0, train)
             h = nn.relu(h)
@@ -297,7 +353,10 @@ class UBlock(nn.Module):
                 h = SubmConv(self.planes[0], kernel_volume=8)(
                     h, t0["up"], t0["down"], False
                 )
-            x = jnp.concatenate([identity, h], axis=-1)
+            if colres:
+                x = crc.concat_cc(identity, h)
+            else:
+                x = jnp.concatenate([identity, h], axis=-1)
             for i in range(self.block_reps):
                 x = block(self.planes[0], name=f"tail{i}")(x, nbr0, mask0,
                                                            train)

@@ -115,7 +115,26 @@ class PointGroup(nn.Module):
         # lets XLA DCE the input conv's dx branch in the backward — at
         # flagship width (134 channels) that transient alone is gigabytes
         voxel_feats = jax.lax.stop_gradient(voxel_feats)
-        if "block_nbr" in t0 or "col_nbr" in t0:  # block/column conv paths
+        if "col2vox" in t0:
+            # column-resident flat path (round 5, conv_impl: colres):
+            # ONE rows->cols at the input, ONE cols->rows before the heads;
+            # every level stays in flat (B*(ccap+1), 8C) column space
+            from d3net_tpu.ops import colres_conv as crc
+
+            caps = [t["mask"].shape[1] for t in tables]
+            ccaps = [t["col_zm"].shape[1] for t in tables]
+            fls = [
+                crc.flatten_level(
+                    t, caps[li],
+                    ccaps[li + 1] if li + 1 < len(tables) else None,
+                )
+                for li, t in enumerate(tables)
+            ]
+            cols = crc.rows_to_cols_flat(voxel_feats, fls[0])
+            cols = self.input_conv(cols, fls[0])
+            cols = self.unet(cols, fls, train)
+            h = crc.cols_to_rows_flat(cols, fls[0])
+        elif "block_nbr" in t0 or "col_nbr" in t0:  # block/column conv paths
             # activations stay ROW-space end to end; blocks/conv3d form
             # exists only transiently inside each conv's fwd and custom-VJP
             # bwd (channel-chunked for the wide input conv)

@@ -391,6 +391,9 @@ class ColumnMaps:
     col_parent: Optional[np.ndarray] = None  # (ccap_f,) coarse column; INVALID = ccap_c
     col_quad: Optional[np.ndarray] = None    # (ccap_f,) 4*(fx&1)+2*(fy&1)+(fzb&1)
     col_occ: Optional[np.ndarray] = None     # (ccap, 8) uint8 occupied z-cells
+    col2vox: Optional[np.ndarray] = None     # (ccap*8,) cell -> voxel row;
+    # unoccupied cells hold the nearest previous valid voxel (keeps the
+    # gather monotone-banded); mask with col_occ (colres conv only)
     overflow_voxels: int = 0
     dropped_phantoms: int = 0   # phantom columns past the cap (recall loss)
 
@@ -493,6 +496,18 @@ def build_column_maps(coords: np.ndarray, caps: List[int],
         v2c_valid = vox2col[:m]
         inb = v2c_valid < ccap * COLZ
         occ[v2c_valid[inb] // COLZ, v2c_valid[inb] % COLZ] = 1
+        # cell -> voxel inverse map; unoccupied cells forward-fill with the
+        # nearest previous valid voxel (both sides are lex-sorted, so the
+        # map is monotone and the device gather stays banded)
+        ncell = ccap * COLZ
+        c2v = np.zeros(ncell, np.int32)
+        cells_v = v2c_valid[inb]
+        c2v[cells_v] = np.nonzero(inb)[0].astype(np.int32)
+        pos = np.full(ncell, -1, np.int64)
+        pos[cells_v] = cells_v
+        np.maximum.accumulate(pos, out=pos)
+        pos = np.where(pos < 0, cells_v[0] if len(cells_v) else 0, pos)
+        col2vox = c2v[pos]
         cm = ColumnMaps(
             num_cols=nc,
             vox2col=_pad_rows(vox2col, cap, ccap * COLZ),
@@ -500,6 +515,7 @@ def build_column_maps(coords: np.ndarray, caps: List[int],
             col_zm=_pad_rows(col_zm, ccap, ccap),
             col_zp=_pad_rows(col_zp, ccap, ccap),
             col_occ=occ,
+            col2vox=col2vox,
             overflow_voxels=int((vox_col >= ccap).sum()),
             dropped_phantoms=dropped_ph,
         )
