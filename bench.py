@@ -57,18 +57,17 @@ BATCH = 4
 REF_SCENES_PER_SEC_ASSUMED = 5.0  # unpublished; conservative estimate
 PEAK_FLOPS = 197e12  # v5e bf16 peak
 
-# production backbone paths (docs/perf_notes.md round 4):
-#  - INFERENCE: z-column folded conv (ops/column_conv.py) — measured fwd
-#    2.45s/B4 vs gather 4.14s on one v5e; weights interchange across
-#    conv implementations (oracle-tested).
+# production backbone paths (docs/perf_notes.md round 5):
+#  - INFERENCE: column-resident flat conv (ops/colres_conv.py) — measured
+#    fwd 1.66s/B4 vs column 2.41s vs gather 4.14s on one v5e; weights
+#    interchange across conv implementations (oracle-tested).
 #  - TRAINING: gather-matmul conv with the row-space custom VJP
-#    (sparse_conv_t), measured TRAIN 12.53s/B4 (backward fits HBM).  The
-#    column and block TRAIN programs both crash the remote compile
-#    service (tpu_compile_helper HTTP 500) — an environment limit, not a
-#    numerics one (their grads are oracle-tested on CPU).
+#    (sparse_conv_t), measured TRAIN 12.53s/B4 (backward fits HBM); the
+#    colres train program is probed this round (the column/block TRAIN
+#    programs crashed the remote compile service in r4).
 # D3NET_BENCH_CONV / D3NET_BENCH_CONV_INFER override either path.
 CONV_IMPL = os.environ.get("D3NET_BENCH_CONV", "gather")
-CONV_IMPL_INFER = os.environ.get("D3NET_BENCH_CONV_INFER", "column")
+CONV_IMPL_INFER = os.environ.get("D3NET_BENCH_CONV_INFER", "colres")
 
 PROBE_BUDGET_S = float(os.environ.get("D3NET_BENCH_PROBE_S", "240"))
 PHASE_BUDGET_S = float(os.environ.get("D3NET_BENCH_PHASE_S", "1100"))

@@ -67,6 +67,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.d3_downsample.argtypes = [i32p, ctypes.c_int64, i32p, i32p]
         lib.d3_upsample.restype = None
         lib.d3_upsample.argtypes = [i32p, ctypes.c_int64, i32p, ctypes.c_int64, i32p]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.d3_column_level.restype = ctypes.c_int64
+        lib.d3_column_level.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i32p, i32p, u8p, i32p, i32p, i64p,
+        ]
+        lib.d3_column_pair.restype = None
+        lib.d3_column_pair.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_int64,
+            i32p, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i32p,
+        ]
         _lib = lib
     except OSError:
         _lib = None
@@ -122,3 +135,51 @@ def upsample_table(fine: np.ndarray, coarse: np.ndarray) -> np.ndarray:
     up = np.empty((len(fine), 8), np.int32)
     lib.d3_upsample(_ptr(fine), len(fine), _ptr(coarse), len(coarse), _ptr(up))
     return up
+
+
+def column_level(coords: np.ndarray, cap: int, ccap: int):
+    """One C++ pass building every column table of one U-Net level.
+
+    Returns (vox2col (cap,), col_nbr (ccap,9), col_zm, col_zp,
+    col_occ (ccap,8) uint8, col2vox (ccap*8,), col_coords (nc,3),
+    stats dict) — byte-identical to the numpy path in
+    voxelize.build_column_maps (tests/test_native.py).
+    """
+    lib = get_lib()
+    coords = _c(coords)
+    m = len(coords)
+    vox2col = np.full(cap, ccap * 8, np.int32)
+    col_nbr = np.empty((ccap, 9), np.int32)
+    col_zm = np.empty(ccap, np.int32)
+    col_zp = np.empty(ccap, np.int32)
+    col_occ = np.empty((ccap, 8), np.uint8)
+    col2vox = np.empty(ccap * 8, np.int32)
+    col_coords = np.empty((ccap, 3), np.int32)
+    stats = np.zeros(4, np.int64)
+    nc = lib.d3_column_level(
+        _ptr(coords), m, ccap, _ptr(vox2col), _ptr(col_nbr), _ptr(col_zm),
+        _ptr(col_zp), col_occ.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _ptr(col2vox), _ptr(col_coords),
+        stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return (vox2col, col_nbr, col_zm, col_zp, col_occ, col2vox,
+            col_coords[:nc].copy(),
+            dict(n_occ=int(stats[0]), phantoms=int(stats[1]),
+                 dropped_phantoms=int(stats[2]),
+                 overflow_voxels=int(stats[3])))
+
+
+def column_pair(fine_cols: np.ndarray, fine_ccap: int,
+                coarse_cols: np.ndarray, coarse_ccap: int):
+    """Stride-2 child/parent/quad tables between column levels."""
+    lib = get_lib()
+    fine_cols, coarse_cols = _c(fine_cols), _c(coarse_cols)
+    child = np.empty((coarse_ccap, 8), np.int32)
+    parent = np.empty(fine_ccap, np.int32)
+    quad = np.empty(fine_ccap, np.int32)
+    lib.d3_column_pair(
+        _ptr(fine_cols), len(fine_cols), fine_ccap,
+        _ptr(coarse_cols), len(coarse_cols), coarse_ccap,
+        _ptr(child), _ptr(parent), _ptr(quad),
+    )
+    return child, parent, quad

@@ -12,6 +12,8 @@ from d3net_tpu.train.trainer import (
     create_train_state, detector_train_step, make_optimizer,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy (r4 VERDICT #9)
+
 
 def _batch():
     scenes = [make_scene(seed=i, num_instances=4, points_per_instance=500,

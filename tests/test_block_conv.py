@@ -8,6 +8,7 @@ whose empty cells hold zeros, masked back to occupancy.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from d3net_tpu.ops import block_conv as bc
 from d3net_tpu.ops.sparse_conv import sparse_conv
@@ -103,6 +104,7 @@ def test_down_and_up_conv_match_gather():
     np.testing.assert_allclose(got_up[:m], ref_up[:m], atol=2e-5)
 
 
+@pytest.mark.slow
 def test_unet_block_mode_matches_gather_mode():
     """Full UBlock: identical params, both table kinds, equal row outputs."""
     from d3net_tpu.models.blocks import UBlock
@@ -172,6 +174,7 @@ def test_subm_conv_rows_grads_match_gather():
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), atol=3e-4)
 
 
+@pytest.mark.slow
 def test_down_up_conv_rows_grads_match_gather():
     coords, m, levels_g, blocks, feats, _, valid, rng = _setup()
     cin = feats.shape[1]
@@ -231,6 +234,7 @@ def test_down_up_conv_rows_grads_match_gather():
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), atol=3e-4)
 
 
+@pytest.mark.slow
 def test_subm_conv_rows_wide_cin_chunks():
     """Input-channel chunking (cin > _CCHUNK) stays exact, fwd and grads."""
     coords, m, levels_g, blocks, _, _, valid, rng = _setup()
@@ -261,6 +265,7 @@ def test_subm_conv_rows_wide_cin_chunks():
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), atol=5e-4)
 
 
+@pytest.mark.slow
 def test_unet_train_grads_block_vs_gather():
     """Full UBlock under jax.grad: block-mode custom VJPs match gather AD."""
     from d3net_tpu.models.blocks import UBlock
@@ -315,6 +320,7 @@ def test_unet_train_grads_block_vs_gather():
         )
 
 
+@pytest.mark.slow
 def test_detector_end_to_end_block_vs_gather():
     """Full PointGroup forward agrees across conv_impl with shared params."""
     from d3net_tpu.data.collate import BatchSpec, build_batch

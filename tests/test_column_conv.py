@@ -9,6 +9,7 @@ band matrices — block_conv._band_w2_*).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from d3net_tpu.ops import column_conv as cc
 from d3net_tpu.ops.sparse_conv import sparse_conv
@@ -190,6 +191,7 @@ def test_down_up_col_rows_grads_match_gather():
     np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_ref), atol=3e-4)
 
 
+@pytest.mark.slow
 def test_unet_train_grads_column_vs_gather():
     """Full UBlock under jax.grad: column custom VJPs match gather AD."""
     from d3net_tpu.models.blocks import UBlock
@@ -246,6 +248,7 @@ def test_unet_train_grads_column_vs_gather():
         )
 
 
+@pytest.mark.slow
 def test_detector_end_to_end_column_vs_gather():
     """Full PointGroup forward agrees across conv_impl with shared params."""
     from d3net_tpu.data.collate import BatchSpec, build_batch

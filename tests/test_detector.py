@@ -109,6 +109,7 @@ def test_detector_loss_finite(setup_eval):
     assert abs(float(losses["semantic_loss"]) - np.log(20)) < 1.5
 
 
+@pytest.mark.slow
 def test_train_mode_with_rngs():
     model, variables, batch, _ = small_setup(train=True)
     out, new_state = jax.jit(
@@ -123,6 +124,7 @@ def test_train_mode_with_rngs():
     assert bool(jnp.isfinite(losses["total_loss"]))
 
 
+@pytest.mark.slow
 def test_gradients_flow():
     model, variables, batch, _ = small_setup(train=True)
 
@@ -193,6 +195,7 @@ def test_grid_conv_gradients_match_autodiff():
     np.testing.assert_allclose(np.asarray(gw_t), np.asarray(gw_n), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dense_scorenet_masks_empty_cells_and_handles_odd_grids():
     """Dense conv3d ScoreNet: submanifold masking + odd-extent down path."""
     import jax

@@ -14,6 +14,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy (r4 VERDICT #9)
+
 
 @pytest.mark.skipif(jax.default_backend() != "cpu",
                     reason="in-graph io_callback path is CPU-only")

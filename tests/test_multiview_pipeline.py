@@ -95,6 +95,7 @@ def test_multiview_end_to_end(tmp_path):
     np.testing.assert_allclose(got, feats[:n], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_enet_learns_semantics(tmp_path):
     """scripts/train_enet.py: semantics-supervised ENet training improves
     pixel accuracy over init, and the saved pickle drops into

@@ -71,6 +71,7 @@ def _run_step(devices, batch_np, optim="AdamW", do_clustering=True):
     return state, metrics
 
 
+@pytest.mark.slow
 def test_dp_sharded_train_step_finite(eight_devices):
     state, metrics = _run_step(eight_devices, _batch(8))
     total = float(metrics["total_loss"])
@@ -88,6 +89,7 @@ def test_dp_sharded_train_step_finite(eight_devices):
             np.testing.assert_array_equal(first, np.asarray(s.data))
 
 
+@pytest.mark.slow
 def test_dp_equals_single_device(eight_devices):
     """1-device vs 8-device numerical equivalence on the same global batch.
 

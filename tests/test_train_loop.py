@@ -1,3 +1,4 @@
+import pytest
 
 
 def test_migrate_legacy_block_names():
@@ -28,6 +29,7 @@ def test_migrate_legacy_block_names():
     assert mig(got) == got
 
 
+@pytest.mark.slow
 def test_scan_trainer_augment_variants(tmp_path):
     """run_detector_training_scan with augmentation ON: pre-built epoch
     variants differ (real augmentation) and two dispatches train with
@@ -72,6 +74,7 @@ def test_scan_trainer_augment_variants(tmp_path):
     assert not np.allclose(b0["point_feats"], b1["point_feats"])
 
 
+@pytest.mark.slow
 def test_nonscan_trainer_cycles_augment_variants(tmp_path):
     """run_detector_training with cache_batches + augmentation: the first
     N epochs cache independent augmented copies, later epochs cycle them."""
