@@ -260,6 +260,20 @@ def _meteor_segment(cand: List[str], ref: List[str], alpha: float,
 
 def meteor(gts: Dict, cands: Dict, alpha: float = 0.9, beta: float = 3.0,
            gamma: float = 0.5) -> Tuple[float, List[float]]:
+    """Corpus METEOR: the official jar when available, python otherwise.
+
+    The environments this repo ships in carry no java/jar, so scores from
+    the python path are comparable only with themselves; wherever
+    meteor-1.5.jar exists (see :class:`MeteorJar`) the official scorer is
+    used automatically, making the caption table's METEOR column directly
+    comparable with the reference's.
+    """
+    jar = MeteorJar.maybe()
+    if jar is not None:
+        try:
+            return jar.compute_score(gts, cands)
+        finally:
+            jar.close()
     scores = []
     for k in cands.keys():
         cand = cands[k][0].split()
@@ -271,3 +285,69 @@ def meteor(gts: Dict, cands: Dict, alpha: float = 0.9, beta: float = 3.0,
         scores.append(best)
     mean = sum(scores) / max(len(scores), 1)
     return mean, scores
+
+
+class MeteorJar:
+    """meteor-1.5.jar stdio wrapper, protocol-exact with the reference's
+    ``lib/capeval/meteor/meteor.py:12-44``:
+
+      command:  java -jar -Xmx2G <jar> - - -stdio -l en -norm
+      per segment:  "SCORE ||| ref1 ||| ref2 ... ||| candidate" -> stats
+      batch:        "EVAL ||| stats1 ||| stats2 ..." -> per-segment scores,
+                    then the aggregate corpus score.
+
+    Activated when java is on PATH and a jar is found via D3NET_METEOR_JAR
+    or next to this file.  D3NET_METEOR_CMD overrides the full command (the
+    protocol test drives a mock scorer through it).
+    """
+
+    def __init__(self, cmd: List[str], cwd: str | None = None):
+        import subprocess
+
+        self.proc = subprocess.Popen(
+            cmd, cwd=cwd, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+        )
+
+    @staticmethod
+    def maybe() -> "MeteorJar | None":
+        import os
+        import shutil
+
+        cmd_override = os.environ.get("D3NET_METEOR_CMD")
+        if cmd_override:
+            return MeteorJar(cmd_override.split())
+        jar = os.environ.get("D3NET_METEOR_JAR") or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "meteor-1.5.jar"
+        )
+        if not (os.path.exists(jar) and shutil.which("java")):
+            return None
+        return MeteorJar(
+            ["java", "-jar", "-Xmx2G", jar, "-", "-", "-stdio", "-l", "en",
+             "-norm"],
+            cwd=os.path.dirname(jar),
+        )
+
+    def compute_score(self, gts: Dict, cands: Dict) -> Tuple[float, List[float]]:
+        keys = list(cands.keys())
+        eval_line = "EVAL"
+        for k in keys:
+            refs = [r.replace("|||", "").replace("\n", " ") for r in gts[k]]
+            cand = cands[k][0].replace("|||", "").replace("\n", " ")
+            score_line = " ||| ".join(("SCORE", " ||| ".join(refs), cand))
+            self.proc.stdin.write((score_line + "\n").encode())
+            self.proc.stdin.flush()
+            eval_line += " ||| " + self.proc.stdout.readline().decode().strip()
+        self.proc.stdin.write((eval_line + "\n").encode())
+        self.proc.stdin.flush()
+        scores = [float(self.proc.stdout.readline().strip())
+                  for _ in keys]
+        mean = float(self.proc.stdout.readline().strip())
+        return mean, scores
+
+    def close(self):
+        try:
+            self.proc.stdin.close()
+            self.proc.kill()
+        except Exception:  # noqa: BLE001
+            pass

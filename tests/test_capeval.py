@@ -110,3 +110,52 @@ def test_meteor_multi_reference_takes_best():
     mean, _ = capeval.meteor(gts, cands)
     want = 1.0 * (1.0 - 0.5 * (1 / 3) ** 3)
     assert abs(mean - want) < 1e-9
+
+
+def test_meteor_jar_protocol(tmp_path, monkeypatch):
+    """The MeteorJar wrapper speaks meteor-1.5's -stdio protocol exactly
+    (SCORE ||| refs ||| cand -> stats; EVAL ||| stats... -> per-segment
+    scores then aggregate).  A mock scorer stands in for the jar (no java
+    in this image); where java + meteor-1.5.jar exist the same wrapper
+    drives the official scorer and meteor() uses it automatically."""
+    import os
+    import stat
+    import sys
+
+    from d3net_tpu.eval import capeval
+
+    mock = tmp_path / "mock_meteor.py"
+    mock.write_text(
+        "import sys\n"
+        "stats = []\n"
+        "for line in sys.stdin:\n"
+        "    parts = [p.strip() for p in line.split('|||')]\n"
+        "    if parts[0] == 'SCORE':\n"
+        "        # stat = n_refs * 100 + len(cand words)\n"
+        "        s = (len(parts) - 2) * 100 + len(parts[-1].split())\n"
+        "        print(s); sys.stdout.flush()\n"
+        "    elif parts[0] == 'EVAL':\n"
+        "        vals = [float(p) for p in parts[1:]]\n"
+        "        for v in vals: print(v / 1000.0)\n"
+        "        print(sum(vals) / len(vals) / 1000.0)\n"
+        "        sys.stdout.flush()\n"
+    )
+    monkeypatch.setenv("D3NET_METEOR_CMD", f"{sys.executable} {mock}")
+    gts = {"a": ["the red chair", "a chair that is red"],
+           "b": ["a wooden table"]}
+    cands = {"a": ["the red chair"], "b": ["a table"]}
+    mean, scores = capeval.meteor(gts, cands)
+    # a: 2 refs + 3 cand words -> 203; b: 1 ref + 2 words -> 102
+    assert scores == [0.203, 0.102]
+    assert abs(mean - (203 + 102) / 2 / 1000.0) < 1e-9
+
+
+def test_meteor_python_fallback_without_jar(monkeypatch):
+    monkeypatch.delenv("D3NET_METEOR_CMD", raising=False)
+    monkeypatch.delenv("D3NET_METEOR_JAR", raising=False)
+    from d3net_tpu.eval import capeval
+
+    gts = {"x": ["a red chair near the table"]}
+    cands = {"x": ["a red chair near the table"]}
+    mean, scores = capeval.meteor(gts, cands)
+    assert 0.9 < mean <= 1.0  # perfect match, single chunk
