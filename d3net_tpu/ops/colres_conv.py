@@ -236,55 +236,86 @@ def _split_band(w, ox, oy, cin):
     return b_mid, jnp.concatenate([b_lo, b_hi], axis=0)
 
 
+_OFFS_XY8 = [o for o in _OFFS_XY if o != (0, 0)]
+
+
+def _padded_lohi(b_lohi, s_lanes, sc):
+    if s_lanes > sc:   # zero rows for the 128-lane strips padding
+        b_lohi = jnp.concatenate(
+            [b_lohi, jnp.zeros((s_lanes - sc, b_lohi.shape[1]),
+                               b_lohi.dtype)], axis=0)
+    return b_lohi
+
+
 def _subm_flat(cols, fl, w):
-    """(N1, 8Cin) -> (N1, 8Cout) f32; w (27, Cin, Cout)."""
+    """(N1, 8Cin) -> (N1, 8Cout) f32; w (27, Cin, Cout).
+
+    The 8 gathered taps run under ONE ``lax.scan`` over stacked band
+    matrices + neighbor columns: identical math to the unrolled form, but
+    the emitted HLO holds one tap body instead of eight — the flagship
+    train program has ~30 such convs in fwd+bwd and fully-unrolled taps
+    crash the remote compile service (r4/r5: tpu_compile_helper HTTP 500;
+    the gather conv compiles because its taps sit inside lax.map bodies).
+    """
     cin = w.shape[1]
     s = _strips(cols, fl, cin)
     sc = 2 * cin
-    out = None
-    for ox, oy in _OFFS_XY:
-        b_mid, b_lohi = _split_band(w, ox, oy, cin)
-        if s.shape[-1] > sc:   # zero rows for the 128-lane padding
-            b_lohi = jnp.concatenate(
-                [b_lohi, jnp.zeros((s.shape[-1] - sc, b_lohi.shape[1]),
-                                   b_lohi.dtype)], axis=0)
-        if (ox, oy) == (0, 0):
-            r = _mmf(cols, b_mid) + _mmf(s, b_lohi)
-        else:
-            idx = fl["nbr"][:, _K9[(ox, oy)]]
-            r = _gather_mm(cols, idx, b_mid) + _gather_mm(s, idx, b_lohi)
-        out = r if out is None else out + r
+    b_mid0, b_lohi0 = _split_band(w, 0, 0, cin)
+    out = _mmf(cols, b_mid0) + _mmf(s, _padded_lohi(b_lohi0, s.shape[-1], sc))
+
+    bmids = jnp.stack([_split_band(w, ox, oy, cin)[0]
+                       for ox, oy in _OFFS_XY8])
+    blohis = jnp.stack([
+        _padded_lohi(_split_band(w, ox, oy, cin)[1], s.shape[-1], sc)
+        for ox, oy in _OFFS_XY8])
+    idxs = jnp.stack([fl["nbr"][:, _K9[o]] for o in _OFFS_XY8])
+
+    def body(acc, inp):
+        idx, bm, bl = inp
+        return acc + _gather_mm(cols, idx, bm) + _gather_mm(s, idx, bl), None
+
+    out, _ = jax.lax.scan(body, out, (idxs, bmids, blohis))
     return out
 
 
 def _subm_dw_flat(cols, fl, dy, cin, cout):
-    """(27, Cin, Cout) weight grad: per-(ox,oy) aug-Gram fold."""
+    """(27, Cin, Cout) weight grad: per-(ox,oy) aug-Gram fold.
+
+    Same lax.scan HLO-compression as :func:`_subm_flat` (one tap body).
+    """
     s = _strips(cols, fl, cin)[:, :2 * cin]
-    dyt = dy
     eye = jnp.eye(COL, dtype=jnp.float32)[:, None, :, None]
-    dws = [None] * 27
-    for ox, oy in _OFFS_XY:
-        if (ox, oy) == (0, 0):
-            g_mid, g_s = cols, s
-        else:
-            idx = fl["nbr"][:, _K9[(ox, oy)]]
-            g_mid = slab_gather(cols, idx)
-            g_s = slab_gather(s, idx)
+
+    def fold(g_mid, g_s):
         gram_mid = jnp.matmul(                     # (8Cin, 8Cout)
-            g_mid.T, dyt.astype(g_mid.dtype),
+            g_mid.T, dy.astype(g_mid.dtype),
             preferred_element_type=jnp.float32)
         gram_s = jnp.matmul(                       # (2Cin, 8Cout)
-            g_s.T, dyt.astype(g_s.dtype),
+            g_s.T, dy.astype(g_s.dtype),
             preferred_element_type=jnp.float32)
         gram = jnp.concatenate(
             [gram_s[:cin], gram_mid, gram_s[cin:]], axis=0)  # (10Cin, 8Cout)
         g4 = gram.reshape(10, cin, COL, cout)
-        for oz in (-1, 0, 1):
-            gs = g4[1 + oz:9 + oz]                 # (8, Cin, 8, Cout)
-            k = (1 + ox) * 9 + (1 + oy) * 3 + (1 + oz)
-            # shifted-diagonal fold WITHOUT einsum-diag lowering (eye-mask
-            # multiply + reduce keeps the HLO simple for the remote compiler)
-            dws[k] = (gs * eye).sum(axis=(0, 2))
+        # shifted-diagonal fold WITHOUT einsum-diag lowering (eye-mask
+        # multiply + reduce keeps the HLO simple for the remote compiler)
+        return jnp.stack([
+            (g4[1 + oz:9 + oz] * eye).sum(axis=(0, 2)) for oz in (-1, 0, 1)
+        ])                                          # (3, Cin, Cout)
+
+    dw_c = fold(cols, s)                            # center (ox=oy=0)
+    idxs = jnp.stack([fl["nbr"][:, _K9[o]] for o in _OFFS_XY8])
+
+    def body(_, idx):
+        return None, fold(slab_gather(cols, idx), slab_gather(s, idx))
+
+    _, dw_8 = jax.lax.scan(body, None, idxs)        # (8, 3, Cin, Cout)
+
+    dws = [None] * 27
+    for j, (ox, oy) in enumerate(_OFFS_XY8):
+        for zi, oz in enumerate((-1, 0, 1)):
+            dws[(1 + ox) * 9 + (1 + oy) * 3 + (1 + oz)] = dw_8[j, zi]
+    for zi, oz in enumerate((-1, 0, 1)):
+        dws[9 + 3 + 1 + oz] = dw_c[zi]
     return jnp.stack(dws)
 
 

@@ -125,7 +125,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="fwd",
                     choices=["fwd", "train", "conv0", "backbone"])
-    ap.add_argument("--conv", default="block", choices=["gather", "block", "column"])
+    ap.add_argument("--conv", default="colres",
+                    choices=["gather", "block", "column", "colres"])
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default=None)
     args = ap.parse_args()
