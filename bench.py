@@ -61,12 +61,12 @@ PEAK_FLOPS = 197e12  # v5e bf16 peak
 #  - INFERENCE: column-resident flat conv (ops/colres_conv.py) — measured
 #    fwd 1.66s/B4 vs column 2.41s vs gather 4.14s on one v5e; weights
 #    interchange across conv implementations (oracle-tested).
-#  - TRAINING: gather-matmul conv with the row-space custom VJP
-#    (sparse_conv_t), measured TRAIN 12.53s/B4 (backward fits HBM); the
-#    colres train program is probed this round (the column/block TRAIN
-#    programs crashed the remote compile service in r4).
+#  - TRAINING: the same colres conv — its lax.scan-compressed tap HLO is
+#    the first fast-conv train program the remote compile service accepts
+#    (measured 3.43s/B4 = 1.17 scenes/s vs gather 12.53s; the unrolled
+#    column/block train programs crashed it with HTTP 500 in r4).
 # D3NET_BENCH_CONV / D3NET_BENCH_CONV_INFER override either path.
-CONV_IMPL = os.environ.get("D3NET_BENCH_CONV", "gather")
+CONV_IMPL = os.environ.get("D3NET_BENCH_CONV", "colres")
 CONV_IMPL_INFER = os.environ.get("D3NET_BENCH_CONV_INFER", "colres")
 
 PROBE_BUDGET_S = float(os.environ.get("D3NET_BENCH_PROBE_S", "240"))
