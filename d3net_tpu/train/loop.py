@@ -508,14 +508,18 @@ def run_detector_training_scan(cfg: Config, run_dir: str,
     aug_on = bool(tr.jitter or tr.flip or tr.rot)
     n_var = max(1, int(cfg.tpu.get("augment_variants", 4))) if aug_on else 1
     train_it.augment = aug_on
-    variants = []
+    # ALL augmented variants live in one device-resident stack and the scan
+    # cycles through them (i % nb): re-uploading a variant per dispatch cost
+    # ~GBs of tunnel I/O per dispatch at flagship scale (round-5 fix)
+    batches = []
     for e in range(n_var):
         train_it.epoch = e
-        batches = list(train_it)
-        variants.append(jax.tree.map(lambda *xs: np.stack(xs), *batches))
+        batches.extend(list(train_it))
     nb = len(batches)
-    if n_var == 1:
-        variants[0] = shard_batch(variants[0], mesh)  # resident once
+    stacked_all = shard_batch(
+        jax.tree.map(lambda *xs: np.stack(xs), *batches), mesh)
+    variants = [stacked_all]
+    n_var = 1
 
     tx = make_optimizer(
         lr=cfg.train.optim.lr, optim=cfg.train.optim.classname,
