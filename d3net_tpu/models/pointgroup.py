@@ -32,7 +32,11 @@ from flax import linen as nn
 
 from d3net_tpu.models.blocks import MaskedBatchNorm, SubmConv, UBlock
 from d3net_tpu.models.scorenet import ScoreNet
-from d3net_tpu.ops.cluster import compact_clusters, grid_cluster
+from d3net_tpu.ops.cluster import (
+    compact_clusters,
+    grid_cluster,
+    grid_cluster_batched,
+)
 from d3net_tpu.ops import segment as seg
 from d3net_tpu.utils.bbox import box_corners
 from d3net_tpu.utils.nn_distance import nn_distance
@@ -155,53 +159,61 @@ class PointGroup(nn.Module):
         return sem_scores, offsets
 
     # ------------------------------------------------------------------
-    def _cluster(self, vxyz, vsem, vvalid, vweight):
+    def _cluster_batch(self, vxyz2, vsem, vvalid, vweight):
         """Dual-pass clustering at voxel level -> per-voxel member slots.
 
-        Returns member (2, Mcap) int32 in [0, 2*clusters_per_pass) or -1,
-        plus (2*clusters_per_pass,) slot mask and point counts.
+        Args: vxyz2 (B, 2, M, 3) original+shifted coords; vsem/vvalid/
+        vweight (B, M).  Returns member (B, 2, M) int32 slots in
+        [0, 2*clusters_per_pass) or -1, plus (B, 2P) slot mask and counts.
 
-        Both passes (original + offset-shifted coords) run as ONE
-        grid_cluster invocation over the concatenated points with the pass
-        bit folded into the label key — two invocations in one scanned
-        program kernel-fault the axon TPU worker (docs/tpu_scan_fault.md),
-        and one concatenated sort/propagation is cheaper anyway.
+        Both passes (original + offset-shifted coords) AND all scenes run
+        as ONE grid_cluster_batched invocation with the pass bit folded
+        into the label key: two invocations in one scanned program
+        kernel-fault the axon TPU worker (docs/tpu_scan_fault.md), and the
+        flat batch avoids the 3x batched-gather tax on the propagation
+        loop (447 ms of the r5 flagship forward, docs/perf_notes.md).
 
         Grouping is non-differentiable (the reference runs CPU BFS): without
         the stop_gradients, autodiff saves the sort permutations and banded
         masks as residuals — gigabytes of HBM.
         """
-        vxyz = jax.lax.stop_gradient(vxyz)
+        vxyz2 = jax.lax.stop_gradient(vxyz2)
         vweight = jax.lax.stop_gradient(vweight)
-        m = vxyz.shape[1]
-        coords2 = jnp.concatenate([vxyz[0], vxyz[1]], axis=0)   # (2M, 3)
-        sem2 = jnp.concatenate([vsem, vsem + 32])               # pass bit
-        valid2 = jnp.concatenate([vvalid, vvalid])
-        root2 = grid_cluster(
+        b, _, m, _ = vxyz2.shape
+        coords2 = jnp.concatenate([vxyz2[:, 0], vxyz2[:, 1]], axis=1)
+        sem2 = jnp.concatenate([vsem, vsem + 32], axis=1)       # pass bit
+        valid2 = jnp.concatenate([vvalid, vvalid], axis=1)
+        root2 = grid_cluster_batched(
             coords2, sem2, valid2,
             cell_size=self.cluster_cell_size,
-            ring=self.cluster_ring,
             num_iters=self.cluster_prop_iters,
             radius=self.cluster_radius,
-        )
-        # components never span halves (pass bit differs) -> split + rebase
-        roots = (root2[:m], jnp.where(root2[m:] >= 0, root2[m:] - m, -1))
-        members, masks, npts = [], [], []
-        for root in roots:
-            member, cmask, cnp = compact_clusters(
-                root,
-                vweight,
-                vvalid,
-                max_clusters=self.clusters_per_pass,
-                min_points=float(self.cluster_npoint_thre),
-            )
-            members.append(member)
-            masks.append(cmask)
-            npts.append(cnp)
-        member = jnp.stack(
-            [members[0], jnp.where(members[1] >= 0, members[1] + self.clusters_per_pass, -1)]
-        )
-        return member, jnp.concatenate(masks), jnp.concatenate(npts)
+        )                                                       # (B, 2M)
+
+        def per_scene(root2_1, vweight_1, vvalid_1):
+            # components never span halves (pass bit) -> split + rebase
+            roots = (root2_1[:m],
+                     jnp.where(root2_1[m:] >= 0, root2_1[m:] - m, -1))
+            members, masks, npts = [], [], []
+            for root in roots:
+                member, cmask, cnp = compact_clusters(
+                    root,
+                    vweight_1,
+                    vvalid_1,
+                    max_clusters=self.clusters_per_pass,
+                    min_points=float(self.cluster_npoint_thre),
+                )
+                members.append(member)
+                masks.append(cmask)
+                npts.append(cnp)
+            member = jnp.stack([
+                members[0],
+                jnp.where(members[1] >= 0,
+                          members[1] + self.clusters_per_pass, -1),
+            ])
+            return member, jnp.concatenate(masks), jnp.concatenate(npts)
+
+        return jax.vmap(per_scene)(root2, vweight, vvalid)
 
     def _cluster_stats(self, member_pt, point_xyz, point_mask):
         """Per-cluster mean/min/max/center/size over true member points.
@@ -354,9 +366,9 @@ class PointGroup(nn.Module):
             vvalid = vmask.astype(bool) & (vsem_pred > 0)
             vshift = vxyz + offsets_v
 
-            member_v, cluster_mask, _ = jax.vmap(
-                lambda o, s, sm, va, w: self._cluster(jnp.stack([o, s]), sm, va, w)
-            )(vxyz, vshift, vsem_pred, vvalid, vweight)
+            member_v, cluster_mask, _ = self._cluster_batch(
+                jnp.stack([vxyz, vshift], axis=1), vsem_pred, vvalid, vweight
+            )
 
             # point-level membership
             def to_points(member_1v, p2v_1, pm):

@@ -171,16 +171,66 @@ def grid_cluster(
             -1 for invalid. Points with equal root are one cluster.
     """
     del weights, ring, use_centroid_gate  # band + exact distance gate always
-    m = coords.shape[0]
+    return grid_cluster_batched(
+        coords[None], sem_labels[None], valid[None],
+        cell_size=cell_size, num_iters=num_iters, radius=radius,
+        shifts=shifts, shifts2=shifts2,
+    )[0]
 
-    origin = jnp.min(jnp.where(valid[:, None], coords, jnp.inf), axis=0)
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cell_size", "num_iters", "shifts", "shifts2"),
+)
+def grid_cluster_batched(
+    coords,
+    sem_labels,
+    valid,
+    *,
+    cell_size: float = 0.015,
+    num_iters: int = 8,
+    radius: float = 0.03,
+    shifts: Tuple[int, ...] = _SHIFTS,
+    shifts2: Tuple[int, ...] = _SHIFTS2,
+):
+    """Batched :func:`grid_cluster` over ONE flat index domain.
+
+    A vmapped grid_cluster pays the batched-gather tax on every label
+    permutation / pointer chase (measured 11.4 ns/row vs ~3.7 flat,
+    scripts/gather_bench.py; the loop was 447 ms of the round-5 flagship
+    forward).  Folding the scene index into the sort key runs the same
+    algorithm once over (B*M,) arrays — components cannot span scenes
+    because edges require equal keys.  Returns per-scene root ids
+    ((B, M) int32, -1 invalid), bit-identical to the vmapped form.
+    """
+    b, m, _ = coords.shape
+    scene = jnp.repeat(jnp.arange(b, dtype=jnp.int32), m)
+
+    origin = jnp.min(
+        jnp.where(valid[..., None], coords, jnp.inf), axis=1, keepdims=True
+    )
     origin = jnp.where(jnp.isfinite(origin), origin, 0.0)
     cell = jnp.clip(
-        jnp.floor((coords - origin) / cell_size).astype(jnp.int32), 0, _GRID - 1
-    )
-    sem = jnp.clip(sem_labels.astype(jnp.int32), 0, 63)
-    khi = jnp.where(valid, sem, 127)        # invalid sorts last, never links
-    idx = jnp.arange(m, dtype=jnp.int32)
+        jnp.floor((coords - origin) / cell_size).astype(jnp.int32),
+        0, _GRID - 1,
+    ).reshape(b * m, 3)
+    coords = coords.reshape(b * m, 3)
+    valid = valid.reshape(b * m)
+    sem = jnp.clip(sem_labels.astype(jnp.int32).reshape(b * m), 0, 63)
+    # scene folded above the label: equal keys => same scene & same label
+    khi = scene * 128 + jnp.where(valid, sem, 127)
+    idx = jnp.arange(b * m, dtype=jnp.int32)
+    root = _grid_cluster_flat(coords, cell, khi, valid, idx,
+                              num_iters=num_iters, radius=radius,
+                              cell_size=cell_size,
+                              shifts=shifts, shifts2=shifts2)
+    # flat point ids -> per-scene ids
+    return jnp.where(root >= 0, root - scene * m, -1).reshape(b, m)
+
+
+def _grid_cluster_flat(coords, cell, khi, valid, idx, *, num_iters, radius,
+                       cell_size, shifts, shifts2):
+    m = coords.shape[0]
 
     # the gate keeps round-1 semantics: pairs of (<=cell-quantized) centroids
     # within radius + one cell diagonal are connected
