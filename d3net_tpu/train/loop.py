@@ -516,9 +516,17 @@ def run_detector_training_scan(cfg: Config, run_dir: str,
         train_it.epoch = e
         batches.extend(list(train_it))
     nb = len(batches)
-    stacked_all = shard_batch(
-        jax.tree.map(lambda *xs: np.stack(xs), *batches), mesh)
-    variants = [stacked_all]
+    stacked_np = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+    if str(cfg.tpu.get("activation_dtype", "")) in ("bfloat16", "bf16"):
+        # point_feats is the resident-memory whale (f32 (nb,B,cap,134) =
+        # 2.2GB at flagship nb=8) and the model casts it to bf16 at the
+        # voxelize step anyway; storing it bf16 halves that (the r5
+        # flagship scan program OOMed HBM by 256MB without this)
+        import ml_dtypes
+
+        stacked_np["point_feats"] = stacked_np["point_feats"].astype(
+            ml_dtypes.bfloat16)
+    variants = [shard_batch(stacked_np, mesh)]
     n_var = 1
 
     tx = make_optimizer(
