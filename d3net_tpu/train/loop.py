@@ -548,7 +548,10 @@ def run_detector_training_scan(cfg: Config, run_dir: str,
     lw = tuple(cfg.train.loss_weight[:4])
     spd = int(cfg.tpu.get("steps_per_dispatch", 64))
 
-    @jax.jit
+    # donate the incoming state: without it two full train states (params +
+    # Adam moments) coexist across the dispatch boundary — the r5 flagship
+    # program fit HBM for dispatch 1 and OOMed on dispatch 2 exactly there
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def dispatch(state, stacked, rng):
         def body(st, i):
             batch = jax.tree.map(lambda x: x[i % nb], stacked)
@@ -567,6 +570,7 @@ def run_detector_training_scan(cfg: Config, run_dir: str,
     step = int(state.step)
     total = max_steps or (cfg.train.epochs * nb)
     dispatch_i = 0
+    val_batches: list = []
     while step < total:
         t0 = time.time()
         var = variants[dispatch_i % n_var]
@@ -582,14 +586,15 @@ def run_detector_training_scan(cfg: Config, run_dir: str,
         logger.log(step, last, "train")
         print(f"step {step} " + " ".join(f"{k}={v:.4f}" for k, v in last.items()))
 
-        # quick val + checkpoint every dispatch
+        # quick val + checkpoint every dispatch (ONE device-resident val
+        # batch: a fresh upload per dispatch churned ~0.5GB of HBM each
+        # time and nudged the flagship program past capacity)
+        if not val_batches:
+            val_batches.append(shard_batch(next(iter(val_it)), mesh))
         val_metrics: Dict[str, list] = {}
-        for batch_np in val_it:
-            vb = shard_batch(batch_np, mesh)
-            _, losses = eval_step(state, vb)
-            for k, v in jax.device_get(losses).items():
-                val_metrics.setdefault(k, []).append(float(v))
-            break  # one val batch per dispatch keeps tunnel I/O bounded
+        _, losses = eval_step(state, val_batches[0])
+        for k, v in jax.device_get(losses).items():
+            val_metrics.setdefault(k, []).append(float(v))
         agg = {k: float(np.mean(v)) for k, v in val_metrics.items()}
         logger.log(step, agg, "val")
         print(f"step {step} VAL " + " ".join(f"{k}={v:.4f}" for k, v in agg.items()))
