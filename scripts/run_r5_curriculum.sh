@@ -6,14 +6,13 @@
 set -x
 cd "$(dirname "$0")/.."
 
-DET_STEPS=${DET_STEPS:-1152}
-SPK_STEPS=${SPK_STEPS:-240}
-LIS_STEPS=${LIS_STEPS:-240}
-JOINT_STEPS=${JOINT_STEPS:-96}
+DET_STEPS=${DET_STEPS:-576}
+SPK_STEPS=${SPK_STEPS:-128}
+LIS_STEPS=${LIS_STEPS:-128}
+JOINT_STEPS=${JOINT_STEPS:-48}
 
 python scripts/train.py --config conf/det_converge.yaml \
     --folder det_converge_r5 --max_steps "$DET_STEPS" || exit 1
-python scripts/eval.py --folder outputs/det_converge_r5 --task detection
 python scripts/prepare_weights.py --folder outputs/det_converge_r5 \
     --name det_converge --which best || exit 1
 
