@@ -84,16 +84,14 @@ class BatchSpec:
         # ScanNet surfaces put ~1.3-2 voxels in an 8-cell z-column at the
         # fine levels (mostly horizontal supports); deeper levels get
         # z-denser as the grid coarsens, but their caps are small anyway.
-        # cap//2 leaves margin for the measured ~1.75 vox/column (incl.
-        # phantoms) but NOT for a worst-case 1.3 vox/column scene running
-        # at voxel-cap saturation (ADVICE r4): such scenes would drop
-        # ~35% of voxels.  Every drop is warned AND counted into
-        # CAP_STATS -> metrics.jsonl (cap_level_overflow /
-        # cap_dropped_phantoms); set explicit ``column_caps`` (e.g.
-        # ~0.8*cap at the fine levels) in the config if telemetry shows
-        # nonzero drops on real data.  Column-cap rows cost gather time
-        # linearly, so the default stays sized to measurement.
-        return [max(64, c // 2) for c in self.caps()]
+        # Round-5 curriculum telemetry measured real scenes dropping
+        # phantoms at BOTH cap//2 and 0.625*cap (up to 2.8k at L0 on 65k
+        # scenes), so the default is sized to that measurement: 0.75*cap.
+        # Every drop is still warned AND counted into CAP_STATS ->
+        # metrics.jsonl (cap_level_overflow / cap_dropped_phantoms); set
+        # explicit ``column_caps`` in the config to trade the linear
+        # gather-time cost of cap rows against telemetry on real data.
+        return [max(64, (c * 3) // 4) for c in self.caps()]
 
 
 class CapStats:
