@@ -101,6 +101,10 @@ def build_bench_batch(conv_impl=None):
     spec = BatchSpec(
         max_points=131072,
         voxel_caps=[131072, 65536, 32768, 16384, 8192, 4096, 2048],
+        # production flagship column caps (conf/flagship_converge.yaml:
+        # 0.625*cap, sized by r5 phantom telemetry) — pinned so the bench
+        # shapes track the prod config, not the collate default
+        column_caps=[81920, 40960, 20480, 10240, 5120, 2560, 1280],
         max_instances=32,
         use_multiview=True,
         use_normal=True,
